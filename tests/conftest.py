@@ -1,0 +1,17 @@
+"""Test env: CPU backend with 8 virtual devices (SURVEY.md §4).
+
+Must run before any jax import: correctness tests never depend on the TPU
+being up (the axon PJRT platform is experimental). Pallas kernels run with
+interpret=True under this backend.
+"""
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
