@@ -1,0 +1,160 @@
+"""SearchEngine: the user-facing API (SURVEY.md §1 L6).
+
+build -> search -> add/delete -> save/load over the TPU-native stack:
+host analyzer frontend, device CSR segments, exact fixed-point scorer,
+two-key ranked top-k, multi-segment merge. The sharded multi-chip path
+lives in parallel/dist.py and plugs in via `mesh=`.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import IndexConfig
+from ..index import builder
+from ..index.csr import GlobalStats, SegmentDevice, SegmentHost, merge_stats
+from ..ops.exact import row_cap, score_exact
+from ..ops.topk import merge_candidates, topk_ranked
+from ..oracle import spec
+from .query import QueryFrontend, segment_rows
+
+F32 = np.float32
+
+
+def _pow2_at_least(n: int, lo: int = 1) -> int:
+    n = max(n, lo)
+    return 1 << int(np.ceil(np.log2(n)))
+
+
+class SearchEngine:
+    """Single-process engine over one or more CSR segments.
+
+    Capabilities per BASELINE.json:5,10: batched `search(queries, k)`,
+    streaming build, incremental add/delete with exact stats updates,
+    checkpoint save/load (index/checkpoint.py).
+    """
+
+    def __init__(self, config: IndexConfig | None = None):
+        self.config = config or IndexConfig()
+        self.frontend = QueryFrontend(self.config)
+        self.segments: list = []  # list[(SegmentHost, SegmentDevice)]
+        self.stats = GlobalStats(
+            np.zeros(0, np.uint64), np.zeros(0, np.int32), 0, 0
+        )
+        self.n_docs_total = 0
+
+    # ------------------------------------------------------------- build
+    def build(self, texts) -> None:
+        """Build the base segment from a corpus (replaces any state)."""
+        self.segments = []
+        self.n_docs_total = 0
+        self.add_docs(texts)
+
+    def add_docs(self, texts) -> list:
+        """Append docs as a new segment; refreshes global df/idf-dependent
+        values exactly (DESIGN.md §4)."""
+        texts = list(texts)
+        if not texts:
+            return []
+        analyzed = builder.analyze_texts(texts, self.config)
+        doc_base = self.n_docs_total
+        host, device = builder.build_segment(
+            analyzed, self.config, doc_base=doc_base
+        )
+        self.segments.append([host, device])
+        self.n_docs_total += host.n_docs
+        self._refresh_stats_and_vals()
+        return list(range(doc_base, self.n_docs_total))
+
+    def _refresh_stats_and_vals(self) -> None:
+        """Re-merge global stats; re-materialize df/avgdl-dependent device
+        values for every segment (postings stay immutable)."""
+        self.stats = merge_stats([h for h, _ in self.segments])
+        for seg in self.segments:
+            host, device = seg
+            seg[1] = builder.refresh_segment_vals(
+                host, device, self.config, self.stats
+            )
+
+    def delete_docs(self, global_ids) -> None:
+        """Tombstone docs and update df/N/total_len exactly from the
+        per-doc term lists kept in SegmentHost."""
+        by_seg: dict = {}
+        for g in global_ids:
+            for si, (host, _) in enumerate(self.segments):
+                if host.doc_base <= g < host.doc_base + host.n_docs:
+                    by_seg.setdefault(si, []).append(g - host.doc_base)
+                    break
+        changed = False
+        for si, locals_ in by_seg.items():
+            host, device = self.segments[si]
+            for ld in locals_:
+                if not host.alive[ld]:
+                    continue
+                host.alive[ld] = False
+                s, e = host.doc_ptr[ld], host.doc_ptr[ld + 1]
+                rows = np.searchsorted(host.term_hash, host.doc_hashes[s:e])
+                host.df[rows] -= 1
+                changed = True
+        if changed:
+            self._refresh_stats_and_vals()
+
+    # ------------------------------------------------------------ search
+    def search(self, queries, k: int = 10):
+        """Batched search: (ids, scores) int64 arrays of shape (nq, k),
+        ranked by (fixed-point score desc, global doc id asc)."""
+        nq = len(queries)
+        if nq == 0 or not self.segments:
+            return (
+                np.full((nq, k), -1, np.int64),
+                np.full((nq, k), -1, np.int64),
+            )
+        slot_h, coeff = self.frontend.analyze(queries, self.stats)
+        nq_pad = _pow2_at_least(nq)
+        if nq_pad > nq:
+            slot_h = np.vstack(
+                [slot_h, np.zeros((nq_pad - nq, slot_h.shape[1]), np.uint64)]
+            )
+            coeff = np.vstack(
+                [coeff, np.zeros((nq_pad - nq, coeff.shape[1]), F32)]
+            )
+        sc = self.config.scoring
+        scale = F32(2.0**sc.scale_bits)
+        clip = F32(int(spec.quant_clip_max(self.config.max_query_terms)))
+
+        all_vals, all_gids = [], []
+        for host, device in self.segments:
+            rows, found = segment_rows(host.term_hash, slot_h)
+            a_seg = np.where(found, coeff, F32(0.0)).astype(F32)
+            cap = row_cap(host.indptr, rows[found]) if found.any() else 8
+            scores = score_exact(
+                device.indptr,
+                device.post_doc,
+                device.post_val,
+                rows,
+                a_seg,
+                scale,
+                clip,
+                cap=cap,
+                n_docs_pad=device.n_docs_pad,
+            )
+            gid_cols = np.arange(device.n_docs_pad, dtype=np.int32) + np.int32(
+                host.doc_base
+            )
+            vals, gids = topk_ranked(
+                scores, device.alive, gid_cols, k=k
+            )
+            all_vals.append(vals)
+            all_gids.append(gids)
+        if len(all_vals) == 1:
+            v, g = all_vals[0], all_gids[0]
+        else:
+            import jax.numpy as jnp
+
+            v, g = merge_candidates(
+                jnp.concatenate(all_vals, axis=1),
+                jnp.concatenate(all_gids, axis=1),
+                k=k,
+            )
+        v = np.asarray(v)[:nq].astype(np.int64)
+        g = np.asarray(g)[:nq].astype(np.int64)
+        return g, v

@@ -1,0 +1,279 @@
+"""Index build: host analyze frontend + jit-compiled CSR packing.
+
+"Index build (tokenize, df/idf stats, CSR packing) is itself a jit-compiled
+batch job" (BASELINE.json:5). String work (tokenize/hash) is inherently
+host-side; everything array-shaped — sorting triples into CSR, df/dl
+segment-sums — has a jit device path (`device_pack`) used by the sharded
+build, plus a numpy path (`host_pack`) that produces identical arrays
+(tested equal). Weight materialization follows oracle/spec.py exactly so
+the parity gate holds bit-for-bit (DESIGN.md §2-§3).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..analyze.hashing import TermHasher
+from ..analyze.tokenizer import Tokenizer
+from ..config import IndexConfig
+from ..oracle import spec
+from .csr import GlobalStats, SegmentDevice, SegmentHost, round_up
+
+F32 = np.float32
+
+
+@dataclass
+class AnalyzedDocs:
+    """Host batch of analyzed docs: per-doc sorted (hash, tf) runs."""
+
+    hashes: np.ndarray  # (nnz,) uint64, sorted ascending within each doc
+    tfs: np.ndarray  # (nnz,) int32
+    doc_ptr: np.ndarray  # (n_docs+1,) int64
+    dl: np.ndarray  # (n_docs,) int32 — token counts
+
+    @property
+    def n_docs(self) -> int:
+        return len(self.dl)
+
+
+def analyze_texts(texts, config: IndexConfig) -> AnalyzedDocs:
+    tokenizer = Tokenizer(config.analyzer)
+    hasher = TermHasher()
+    all_hashes, all_tfs, ptr, dls = [], [], [0], []
+    for text in texts:
+        toks = tokenizer(text)
+        h = hasher.hash_tokens(toks)
+        uh, tf = np.unique(h, return_counts=True)  # sorted ascending
+        all_hashes.append(uh)
+        all_tfs.append(tf.astype(np.int32))
+        ptr.append(ptr[-1] + len(uh))
+        dls.append(len(toks))
+    return AnalyzedDocs(
+        hashes=(
+            np.concatenate(all_hashes)
+            if all_hashes
+            else np.zeros(0, np.uint64)
+        ),
+        tfs=np.concatenate(all_tfs) if all_tfs else np.zeros(0, np.int32),
+        doc_ptr=np.array(ptr, dtype=np.int64),
+        dl=np.array(dls, dtype=np.int32),
+    )
+
+
+def segment_vocab(analyzed: AnalyzedDocs):
+    """(vocab uint64 sorted, rows int32 per posting, df int32 per term)."""
+    vocab, rows = np.unique(analyzed.hashes, return_inverse=True)
+    df = np.bincount(rows, minlength=len(vocab)).astype(np.int32)
+    return vocab, rows.astype(np.int32), df
+
+
+def host_pack(rows, docs, tfs, n_terms, n_docs):
+    """numpy CSR pack: sort triples by (row, doc), build indptr/df/dl."""
+    order = np.lexsort((docs, rows))
+    r, d, t = rows[order], docs[order], tfs[order]
+    indptr = np.searchsorted(r, np.arange(n_terms + 1)).astype(np.int32)
+    return r, d.astype(np.int32), t.astype(np.int32), indptr
+
+
+@partial(jax.jit, static_argnames=("n_terms", "n_docs"))
+def device_pack(rows, docs, tfs, n_terms: int, n_docs: int):
+    """jit CSR pack: lax.sort by (row, doc) + searchsorted indptr.
+
+    Same output as host_pack; this is the path that scales with chips —
+    triples are device-resident and never round-trip to host.
+    """
+    r, d, t = jax.lax.sort((rows, docs, tfs), num_keys=2)
+    indptr = jnp.searchsorted(r, jnp.arange(n_terms + 1)).astype(jnp.int32)
+    df = jnp.zeros(n_terms, jnp.int32).at[r].add(1)
+    dl = jnp.zeros(n_docs, jnp.int32).at[d].add(t)
+    return r, d, t, indptr, df, dl
+
+
+def doc_inv_norms(
+    analyzed: AnalyzedDocs, stats: GlobalStats, kind: str, chunk: int = 4096
+) -> np.ndarray:
+    """Per-doc inverse norms for tfidf (spec order: hash-ascending seq f32).
+
+    Vectorized across docs (chunked), sequential across term slots —
+    matching spec.seq_sumsq exactly. Trailing zero-padding is exact
+    (acc + 0*0 == acc in f32).
+    """
+    n = analyzed.n_docs
+    out = np.zeros(n, dtype=F32)
+    idf_g = spec.idf_of(kind, stats.n_alive, stats.df)
+    rows_g = np.searchsorted(stats.vocab, analyzed.hashes)
+    w_all = spec.doc_weights_tfidf(analyzed.tfs, idf_g[rows_g])
+    ptr = analyzed.doc_ptr
+    for c0 in range(0, n, chunk):
+        c1 = min(c0 + chunk, n)
+        lens = (ptr[c0 + 1 : c1 + 1] - ptr[c0:c1]).astype(np.int64)
+        lmax = int(lens.max()) if len(lens) else 0
+        mat = np.zeros((c1 - c0, max(lmax, 1)), dtype=F32)
+        for i in range(c1 - c0):
+            s, e = ptr[c0 + i], ptr[c0 + i + 1]
+            mat[i, : e - s] = w_all[s:e]
+        sumsq = spec.seq_sumsq(mat, axis=1)
+        out[c0:c1] = spec.inv_norm_from_sumsq(sumsq)
+    return out
+
+
+def materialize_vals(
+    post_doc: np.ndarray,
+    post_tf: np.ndarray,
+    dl: np.ndarray,
+    inv_norm: np.ndarray,
+    config: IndexConfig,
+    stats: GlobalStats,
+) -> np.ndarray:
+    """Materialized posting impact values (DESIGN.md §4), host f32.
+
+    tfidf: val = tf * inv_norm[doc]      (doc idf lives in A_s)
+    bm25:  val = tf*(k1+1)/(tf + c0 + c1*dl[doc])  (the one division)
+    """
+    sc = config.scoring
+    if sc.kind == "tfidf":
+        return spec.val_tfidf(post_tf, inv_norm[post_doc])
+    avgdl = spec.avgdl_of(stats.total_len_alive, stats.n_alive)
+    return spec.val_bm25(post_tf, dl[post_doc].astype(F32), sc.k1, sc.b, avgdl)
+
+
+def build_segment(
+    analyzed: AnalyzedDocs,
+    config: IndexConfig,
+    doc_base: int = 0,
+    stats: GlobalStats | None = None,
+) -> tuple:
+    """Build one (SegmentHost, SegmentDevice) from analyzed docs.
+
+    `stats` defaults to this segment's own vocabulary/df (single-segment
+    build). Multi-segment/incremental callers pass merged global stats and
+    later refresh vals via `refresh_segment_vals`.
+    """
+    n_docs = analyzed.n_docs
+    vocab, rows, df = segment_vocab(analyzed)
+    n_terms = len(vocab)
+    docs = np.repeat(
+        np.arange(n_docs, dtype=np.int32),
+        np.diff(analyzed.doc_ptr).astype(np.int64),
+    )
+    r, d, t, indptr = host_pack(rows, docs, analyzed.tfs, n_terms, n_docs)
+
+    host = SegmentHost(
+        term_hash=vocab,
+        df=df,
+        doc_base=doc_base,
+        n_docs=n_docs,
+        dl=analyzed.dl.copy(),
+        alive=np.ones(n_docs, dtype=bool),
+        doc_hashes=analyzed.hashes,
+        doc_tfs=analyzed.tfs,
+        doc_ptr=analyzed.doc_ptr,
+        indptr=indptr,
+    )
+    if stats is None:
+        stats = GlobalStats(
+            vocab=vocab,
+            df=df.copy(),
+            n_alive=n_docs,
+            total_len_alive=int(analyzed.dl.sum()),
+        )
+    device = pack_device_segment(host, d, t, indptr, config, stats, analyzed)
+    return host, device
+
+
+def refresh_segment_vals(
+    host: SegmentHost,
+    device: SegmentDevice,
+    config: IndexConfig,
+    stats: GlobalStats,
+) -> SegmentDevice:
+    """Re-materialize idf/avgdl-dependent device values after df/N change
+    (incremental add/delete, DESIGN.md §4). Postings (doc, tf) and CSR
+    structure are immutable; only inv_norm/post_val/alive are rebuilt,
+    from the per-doc analyzed data kept on host — so an incrementally
+    updated index scores identically to a fresh rebuild.
+    """
+    analyzed = AnalyzedDocs(
+        hashes=host.doc_hashes,
+        tfs=host.doc_tfs,
+        doc_ptr=host.doc_ptr,
+        dl=host.dl,
+    )
+    vocab, rows, _ = segment_vocab(analyzed)
+    docs = np.repeat(
+        np.arange(host.n_docs, dtype=np.int32),
+        np.diff(host.doc_ptr).astype(np.int64),
+    )
+    _, d, t, _ = host_pack(rows, docs, analyzed.tfs, len(vocab), host.n_docs)
+    kind = config.scoring.kind
+    if kind == "tfidf":
+        inv_norm = doc_inv_norms(analyzed, stats, kind)
+    else:
+        inv_norm = np.zeros(host.n_docs, dtype=F32)
+    dl_f = host.dl.astype(F32)
+    vals = materialize_vals(
+        d, t.astype(F32), dl_f, inv_norm, config, stats
+    )
+    import jax.numpy as jnp
+
+    d_pad = device.n_docs_pad
+    nnz_pad = int(device.post_val.shape[0])
+
+    def pad(a, size, fill, dtype):
+        out = np.full(size, fill, dtype=dtype)
+        out[: len(a)] = a
+        return out
+
+    return SegmentDevice(
+        indptr=device.indptr,
+        post_doc=device.post_doc,
+        post_tf=device.post_tf,
+        post_val=jnp.asarray(pad(vals, nnz_pad, 0, np.float32)),
+        dl=device.dl,
+        alive=jnp.asarray(pad(host.alive, d_pad, False, bool)),
+        inv_norm=jnp.asarray(pad(inv_norm, d_pad, 0, np.float32)),
+    )
+
+
+def pack_device_segment(
+    host: SegmentHost,
+    post_doc: np.ndarray,
+    post_tf: np.ndarray,
+    indptr: np.ndarray,
+    config: IndexConfig,
+    stats: GlobalStats,
+    analyzed: AnalyzedDocs,
+) -> SegmentDevice:
+    n_docs = host.n_docs
+    d_pad = round_up(n_docs + 1, config.docs_pad_to)
+    nnz = len(post_doc)
+    nnz_pad = max(round_up(nnz, config.nnz_pad_to), config.nnz_pad_to)
+
+    kind = config.scoring.kind
+    if kind == "tfidf":
+        inv_norm = doc_inv_norms(analyzed, stats, kind)
+    else:
+        inv_norm = np.zeros(n_docs, dtype=F32)
+    dl_f = host.dl.astype(F32)
+    vals = materialize_vals(
+        post_doc, post_tf.astype(F32), dl_f, inv_norm, config, stats
+    )
+
+    def pad(a, size, fill, dtype):
+        out = np.full(size, fill, dtype=dtype)
+        out[: len(a)] = a
+        return out
+
+    return SegmentDevice(
+        indptr=jnp.asarray(indptr),
+        post_doc=jnp.asarray(pad(post_doc, nnz_pad, n_docs, np.int32)),
+        post_tf=jnp.asarray(pad(post_tf, nnz_pad, 0, np.float32)),
+        post_val=jnp.asarray(pad(vals, nnz_pad, 0, np.float32)),
+        dl=jnp.asarray(pad(dl_f, d_pad, 0, np.float32)),
+        alive=jnp.asarray(pad(host.alive, d_pad, False, bool)),
+        inv_norm=jnp.asarray(pad(inv_norm, d_pad, 0, np.float32)),
+    )

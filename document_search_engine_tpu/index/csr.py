@@ -1,0 +1,114 @@
+"""CSR index segment structures (DESIGN.md §4).
+
+"postings lists compile into a document-sharded CSR term–document matrix in
+HBM" (BASELINE.json:5): each segment is a CSR matrix with rows = terms of
+the segment vocabulary (sorted uint64 hashes, host-resident) and columns =
+local doc ids. Device arrays are jax arrays (sharded over the `docs` mesh
+axis in the multi-chip path); host metadata stays in numpy.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m if m > 1 else x
+
+
+@dataclass
+class SegmentHost:
+    """Host-resident segment metadata."""
+
+    term_hash: np.ndarray  # (T,) uint64 sorted — segment vocabulary
+    df: np.ndarray  # (T,) int32 — segment-local df over alive docs
+    doc_base: int  # global doc id of local doc 0
+    n_docs: int  # docs in segment (unpadded; includes tombstoned)
+    dl: np.ndarray  # (n_docs,) int32 doc lengths
+    alive: np.ndarray  # (n_docs,) bool
+    # per-doc analyzed terms, needed for exact df updates on delete and
+    # for inv_norm refresh: (concat sorted hashes, concat tfs, ptr)
+    doc_hashes: np.ndarray = field(repr=False, default=None)
+    doc_tfs: np.ndarray = field(repr=False, default=None)
+    doc_ptr: np.ndarray = field(repr=False, default=None)
+    # host copy of CSR row pointers (for static gather-capacity sizing)
+    indptr: np.ndarray = field(repr=False, default=None)
+
+    @property
+    def n_terms(self) -> int:
+        return len(self.term_hash)
+
+    @property
+    def n_alive(self) -> int:
+        return int(self.alive.sum())
+
+    @property
+    def total_len_alive(self) -> int:
+        return int(self.dl[self.alive].sum())
+
+
+@dataclass
+class SegmentDevice:
+    """Device-resident CSR arrays (HBM). Padded to static shapes for jit.
+
+    Postings are sorted by (term row, local doc id); padding entries point
+    at the sentinel doc slot `n_docs` with val 0 (alive=False there).
+    """
+
+    indptr: jnp.ndarray  # (T+1,) int32
+    post_doc: jnp.ndarray  # (nnz_pad,) int32
+    post_tf: jnp.ndarray  # (nnz_pad,) float32 — raw tf, immutable
+    post_val: jnp.ndarray  # (nnz_pad,) float32 — materialized impact
+    dl: jnp.ndarray  # (D_pad,) float32
+    alive: jnp.ndarray  # (D_pad,) bool
+    inv_norm: jnp.ndarray  # (D_pad,) float32 (tfidf; zeros for bm25)
+
+    @property
+    def n_docs_pad(self) -> int:
+        return int(self.alive.shape[0])
+
+
+@dataclass
+class GlobalStats:
+    """Corpus-global term statistics (merged over segments and shards).
+
+    df must be corpus-global for idf (SURVEY.md §3b); merged on host from
+    per-segment vocabularies (hash-space distributed reduce at extreme
+    scale — out of scope, SURVEY.md §5).
+    """
+
+    vocab: np.ndarray  # (Tg,) uint64 sorted
+    df: np.ndarray  # (Tg,) int32 — alive-doc df
+    n_alive: int
+    total_len_alive: int
+
+    def df_of(self, hashes: np.ndarray) -> np.ndarray:
+        """df per query hash; 0 for unknown terms."""
+        idx = np.searchsorted(self.vocab, hashes)
+        idx_c = np.minimum(idx, max(len(self.vocab) - 1, 0))
+        if len(self.vocab) == 0:
+            return np.zeros(len(hashes), dtype=np.int32)
+        found = self.vocab[idx_c] == hashes
+        return np.where(found, self.df[idx_c], 0).astype(np.int32)
+
+
+def merge_stats(segments) -> GlobalStats:
+    """Merge per-segment vocab/df into corpus-global stats (host)."""
+    vocabs = [s.term_hash for s in segments]
+    if not vocabs:
+        return GlobalStats(
+            np.zeros(0, np.uint64), np.zeros(0, np.int32), 0, 0
+        )
+    allv = np.concatenate(vocabs)
+    alld = np.concatenate([s.df for s in segments]).astype(np.int64)
+    vocab, inv = np.unique(allv, return_inverse=True)
+    df = np.zeros(len(vocab), dtype=np.int64)
+    np.add.at(df, inv, alld)
+    return GlobalStats(
+        vocab=vocab,
+        df=df.astype(np.int32),
+        n_alive=sum(s.n_alive for s in segments),
+        total_len_alive=sum(s.total_len_alive for s in segments),
+    )

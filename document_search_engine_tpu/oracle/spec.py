@@ -39,6 +39,27 @@ def idf_table(kind: str, n_docs: int, max_df: int) -> np.ndarray:
     return t
 
 
+def idf_of(kind: str, n_docs: int, df: np.ndarray) -> np.ndarray:
+    """Elementwise idf for an array of df values; 0 where df == 0.
+
+    Bit-identical to `idf_table(kind, n_docs, m)[df]` (same f32 formula on
+    the same f32 inputs), without materializing the table.
+    """
+    df = np.asarray(df, dtype=F32)
+    n = F32(n_docs)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        if kind == "tfidf":
+            t = np.log(n / df, dtype=F32).astype(F32)
+        elif kind == "bm25":
+            half = F32(0.5)
+            t = np.log(
+                F32(1.0) + (n - df + half) / (df + half), dtype=F32
+            ).astype(F32)
+        else:
+            raise ValueError(kind)
+    return np.where(df == F32(0.0), F32(0.0), t).astype(F32)
+
+
 def seq_sumsq(values: np.ndarray, axis: int = -1) -> np.ndarray:
     """Sequential f32 sum of squares along `axis`, in the given order.
 

@@ -1,0 +1,98 @@
+"""Index build unit tests: CSR pack round-trip, host/device pack equality
+(SURVEY.md §4 "CSR pack round-trip")."""
+import jax.numpy as jnp
+import numpy as np
+
+from document_search_engine_tpu.config import IndexConfig
+from document_search_engine_tpu.index import builder
+from document_search_engine_tpu.index.csr import merge_stats
+
+
+def test_analyze_texts_shapes():
+    a = builder.analyze_texts(["b a a c", "c c", ""], IndexConfig())
+    assert a.n_docs == 3
+    assert list(a.dl) == [4, 2, 0]
+    assert list(np.diff(a.doc_ptr)) == [3, 1, 0]
+    # per-doc hashes sorted ascending
+    assert np.all(np.diff(a.hashes[:3].astype(np.int64)) >= 0) or np.all(
+        np.diff(a.hashes[:3]) >= 0
+    )
+
+
+def test_host_device_pack_equal():
+    rng = np.random.default_rng(0)
+    n_terms, n_docs, nnz = 50, 30, 400
+    rows = rng.integers(0, n_terms, nnz).astype(np.int32)
+    docs = rng.integers(0, n_docs, nnz).astype(np.int32)
+    tfs = rng.integers(1, 5, nnz).astype(np.int32)
+    # dedupe (row, doc) pairs as the analyzer guarantees
+    _, uniq = np.unique(rows.astype(np.int64) * n_docs + docs, return_index=True)
+    rows, docs, tfs = rows[uniq], docs[uniq], tfs[uniq]
+
+    hr, hd, ht, hip = builder.host_pack(rows, docs, tfs, n_terms, n_docs)
+    dr, dd, dt, dip, ddf, ddl = builder.device_pack(
+        jnp.asarray(rows), jnp.asarray(docs), jnp.asarray(tfs),
+        n_terms=n_terms, n_docs=n_docs,
+    )
+    np.testing.assert_array_equal(hr, np.asarray(dr))
+    np.testing.assert_array_equal(hd, np.asarray(dd))
+    np.testing.assert_array_equal(ht, np.asarray(dt))
+    np.testing.assert_array_equal(hip, np.asarray(dip))
+    np.testing.assert_array_equal(
+        np.asarray(ddf), np.bincount(rows, minlength=n_terms)
+    )
+    dl_exp = np.zeros(n_docs, np.int64)
+    np.add.at(dl_exp, docs, tfs)
+    np.testing.assert_array_equal(np.asarray(ddl), dl_exp)
+
+
+def test_build_segment_csr_roundtrip():
+    texts = ["a b b c", "b d", "e"]
+    cfg = IndexConfig()
+    analyzed = builder.analyze_texts(texts, cfg)
+    host, dev = builder.build_segment(analyzed, cfg)
+    assert host.n_docs == 3
+    T = host.n_terms
+    indptr = np.asarray(dev.indptr)
+    post_doc = np.asarray(dev.post_doc)
+    post_tf = np.asarray(dev.post_tf)
+    # reconstruct dense matrix and check tf counts
+    dense = np.zeros((T, 3))
+    for t in range(T):
+        for p in range(indptr[t], indptr[t + 1]):
+            dense[t, post_doc[p]] = post_tf[p]
+    assert dense.sum() == 4 + 2 + 1
+    # df from CSR matches host df
+    df_csr = np.diff(indptr)
+    np.testing.assert_array_equal(df_csr, host.df)
+    # doc 0 has term 'b' with tf 2
+    hasher_row = np.searchsorted(
+        host.term_hash,
+        np.uint64(
+            __import__(
+                "document_search_engine_tpu.analyze.hashing",
+                fromlist=["fnv1a64"],
+            ).fnv1a64("b")
+        ),
+    )
+    assert dense[hasher_row, 0] == 2
+    assert dense[hasher_row, 1] == 1
+
+
+def test_merge_stats():
+    cfg = IndexConfig()
+    a1 = builder.analyze_texts(["x y", "y z"], cfg)
+    a2 = builder.analyze_texts(["y q"], cfg)
+    h1, _ = builder.build_segment(a1, cfg, doc_base=0)
+    h2, _ = builder.build_segment(a2, cfg, doc_base=2)
+    stats = merge_stats([h1, h2])
+    assert stats.n_alive == 3
+    assert stats.total_len_alive == 6
+    from document_search_engine_tpu.analyze.hashing import fnv1a64
+
+    df_y = stats.df_of(np.array([fnv1a64("y")], dtype=np.uint64))
+    assert df_y[0] == 3
+    df_q = stats.df_of(np.array([fnv1a64("q")], dtype=np.uint64))
+    assert df_q[0] == 1
+    df_missing = stats.df_of(np.array([fnv1a64("nope")], dtype=np.uint64))
+    assert df_missing[0] == 0
