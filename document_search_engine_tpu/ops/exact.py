@@ -63,7 +63,10 @@ def score_exact(
         scores = scores.at[qids, d].add(ci, mode="drop")
         return scores, None
 
-    scores0 = jnp.zeros((nq, n_docs_pad), jnp.int32)
+    # `+ indptr[0] * 0` transfers the input's varying-manual-axes
+    # annotation to the scan carry (required under shard_map's vma check;
+    # a no-op otherwise — XLA folds the zero).
+    scores0 = jnp.zeros((nq, n_docs_pad), jnp.int32) + indptr[0] * 0
     scores, _ = jax.lax.scan(
         slot_body, scores0, (rows.T, coeff.T)
     )

@@ -1,0 +1,261 @@
+"""Document-sharded index + SPMD search (BASELINE.json:5).
+
+Each shard owns a contiguous global doc-id range and holds its own CSR
+segment (own vocabulary) padded to fleet-uniform shapes. One search step
+under `shard_map`: local fixed-point scoring -> local ranked top-k ->
+`all_gather` of (score, gid) candidates over the `docs` axis (ICI) ->
+replicated k-way merge, "so multi-chip corpora return one global ranked
+list". Scores are integer fixed-point (DESIGN.md §2), so rankings are
+bit-identical for every shard count — tested 1 vs N.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..config import IndexConfig
+from ..engine.query import QueryFrontend, segment_rows
+from ..index import builder
+from ..index.csr import GlobalStats, merge_stats, round_up
+from ..ops.exact import row_cap, score_exact
+from ..ops.topk import merge_candidates, topk_ranked
+from ..oracle import spec
+from .mesh import DOCS_AXIS, make_mesh
+
+F32 = np.float32
+
+
+@dataclass
+class ShardedIndex:
+    """Stacked per-shard CSR arrays; axis 0 is the `docs` mesh axis."""
+
+    indptr: jnp.ndarray  # (n_shards, T_pad+1) i32
+    post_doc: jnp.ndarray  # (n_shards, nnz_pad) i32
+    post_val: jnp.ndarray  # (n_shards, nnz_pad) f32
+    alive: jnp.ndarray  # (n_shards, D_pad) bool
+    doc_base: jnp.ndarray  # (n_shards, 1) i32
+    hosts: list  # per-shard SegmentHost (numpy metadata)
+    stats: GlobalStats
+    n_shards: int
+    d_pad: int
+    cap_hint: int  # max CSR row length across shards
+
+
+def build_sharded(
+    texts, config: IndexConfig, mesh: Mesh
+) -> ShardedIndex:
+    """Build a document-sharded index: contiguous doc ranges per shard,
+    corpus-global df/idf (host merge; `psum` in the SPMD build demo),
+    fleet-uniform padded shapes, one sharded device_put."""
+    texts = list(texts)
+    n_shards = mesh.devices.size
+    n_docs = len(texts)
+    per = -(-n_docs // n_shards) if n_docs else 1
+    chunks, bases = [], []
+    for i in range(n_shards):
+        lo, hi = min(i * per, n_docs), min((i + 1) * per, n_docs)
+        chunks.append(texts[lo:hi])
+        bases.append(lo)
+
+    analyzed = [builder.analyze_texts(c, config) for c in chunks]
+    hosts, packed = [], []
+    for a, base in zip(analyzed, bases):
+        vocab, rows, df = builder.segment_vocab(a)
+        docs = np.repeat(
+            np.arange(a.n_docs, dtype=np.int32),
+            np.diff(a.doc_ptr).astype(np.int64),
+        )
+        r, d, t, indptr = builder.host_pack(
+            rows, docs, a.tfs, len(vocab), a.n_docs
+        )
+        from ..index.csr import SegmentHost
+
+        hosts.append(
+            SegmentHost(
+                term_hash=vocab,
+                df=df,
+                doc_base=base,
+                n_docs=a.n_docs,
+                dl=a.dl.copy(),
+                alive=np.ones(a.n_docs, dtype=bool),
+                doc_hashes=a.hashes,
+                doc_tfs=a.tfs,
+                doc_ptr=a.doc_ptr,
+                indptr=indptr,
+            )
+        )
+        packed.append((d, t, indptr))
+
+    stats = merge_stats(hosts)
+
+    # fleet-uniform padded shapes
+    t_pad = max(h.n_terms for h in hosts)
+    nnz_pad = max(
+        round_up(max(len(p[0]) for p in packed), config.nnz_pad_to),
+        config.nnz_pad_to,
+    )
+    d_pad = round_up(max(h.n_docs for h in hosts) + 1, config.docs_pad_to)
+
+    ip = np.zeros((n_shards, t_pad + 1), np.int32)
+    pd = np.zeros((n_shards, nnz_pad), np.int32)
+    pv = np.zeros((n_shards, nnz_pad), np.float32)
+    al = np.zeros((n_shards, d_pad), bool)
+    cap_hint = 1
+    for i, (h, (d, t, indptr), a) in enumerate(zip(hosts, packed, analyzed)):
+        kind = config.scoring.kind
+        if kind == "tfidf":
+            inv_norm = builder.doc_inv_norms(a, stats, kind)
+        else:
+            inv_norm = np.zeros(h.n_docs, dtype=F32)
+        vals = builder.materialize_vals(
+            d, t.astype(F32), h.dl.astype(F32), inv_norm, config, stats
+        )
+        ip[i, : len(indptr)] = indptr
+        ip[i, len(indptr) :] = indptr[-1] if len(indptr) else 0
+        pd[i, : len(d)] = d
+        pd[i, len(d) :] = h.n_docs  # sentinel pad doc
+        pv[i, : len(vals)] = vals
+        al[i, : h.n_docs] = h.alive
+        if len(indptr) > 1:
+            cap_hint = max(cap_hint, int(np.diff(indptr).max()))
+
+    shard0 = NamedSharding(mesh, P(DOCS_AXIS))
+    return ShardedIndex(
+        indptr=jax.device_put(ip, shard0),
+        post_doc=jax.device_put(pd, shard0),
+        post_val=jax.device_put(pv, shard0),
+        alive=jax.device_put(al, shard0),
+        doc_base=jax.device_put(
+            np.array(bases, np.int32).reshape(n_shards, 1), shard0
+        ),
+        hosts=hosts,
+        stats=stats,
+        n_shards=n_shards,
+        d_pad=d_pad,
+        cap_hint=cap_hint,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "cap", "d_pad", "mesh_"),
+)
+def _sharded_search_step(
+    indptr,
+    post_doc,
+    post_val,
+    alive,
+    doc_base,
+    rows,
+    coeff,
+    scale,
+    clip,
+    k: int,
+    cap: int,
+    d_pad: int,
+    mesh_: Mesh,
+):
+    """One SPMD search step (DESIGN.md §5): runs identically on every
+    shard; output is the replicated global top-k."""
+
+    def local(ip, pd, pv, al, base, r, a):
+        ip, pd, pv, al = ip[0], pd[0], pv[0], al[0]
+        r, a = r[0], a[0]
+        scores = score_exact(
+            ip, pd, pv, r, a, scale, clip, cap=cap, n_docs_pad=d_pad
+        )
+        gid_cols = jnp.arange(d_pad, dtype=jnp.int32) + base[0, 0]
+        vals, gids = topk_ranked(scores, al, gid_cols, k=k)
+        # ICI boundary: gather every shard's candidates, merge everywhere.
+        vals_g = jax.lax.all_gather(vals, DOCS_AXIS)  # (S, nq, k)
+        gids_g = jax.lax.all_gather(gids, DOCS_AXIS)
+        nq = vals.shape[0]
+        vals_c = jnp.swapaxes(vals_g, 0, 1).reshape(nq, -1)
+        gids_c = jnp.swapaxes(gids_g, 0, 1).reshape(nq, -1)
+        mv, mg = merge_candidates(vals_c, gids_c, k=k)
+        # Every shard computed the identical merge of the all-gathered
+        # candidates; emit them stacked over the axis (sliced to one
+        # replica by the caller) — keeps the vma replication check on.
+        return mv[None], mg[None]
+
+    sh = P(DOCS_AXIS)
+    vals_all, gids_all = shard_map(
+        local,
+        mesh=mesh_,
+        in_specs=(sh, sh, sh, sh, sh, sh, sh),
+        out_specs=(sh, sh),
+    )(indptr, post_doc, post_val, alive, doc_base, rows, coeff)
+    # (n_shards, nq, k) of identical replicas -> one copy.
+    return vals_all[0], gids_all[0]
+
+
+class DistributedSearchEngine:
+    """Multi-chip search engine over a `docs` mesh (same results as the
+    single-process SearchEngine, bit-for-bit — tested)."""
+
+    def __init__(self, config: IndexConfig | None = None, mesh: Mesh | None = None):
+        self.config = config or IndexConfig()
+        self.mesh = mesh or make_mesh()
+        self.frontend = QueryFrontend(self.config)
+        self.index: ShardedIndex | None = None
+
+    def build(self, texts) -> None:
+        self.index = build_sharded(texts, self.config, self.mesh)
+
+    def search(self, queries, k: int = 10):
+        idx = self.index
+        nq = len(queries)
+        if idx is None or nq == 0:
+            return (
+                np.full((nq, k), -1, np.int64),
+                np.full((nq, k), -1, np.int64),
+            )
+        slot_h, coeff = self.frontend.analyze(queries, idx.stats)
+        nq_pad = 1 << int(np.ceil(np.log2(max(nq, 1))))
+        if nq_pad > nq:
+            slot_h = np.vstack(
+                [slot_h, np.zeros((nq_pad - nq, slot_h.shape[1]), np.uint64)]
+            )
+            coeff = np.vstack(
+                [coeff, np.zeros((nq_pad - nq, coeff.shape[1]), F32)]
+            )
+        n_shards = idx.n_shards
+        s = slot_h.shape[1]
+        rows = np.zeros((n_shards, nq_pad, s), np.int32)
+        coeffs = np.zeros((n_shards, nq_pad, s), F32)
+        cap = 8
+        for i, h in enumerate(idx.hosts):
+            r, found = segment_rows(h.term_hash, slot_h)
+            rows[i] = r
+            coeffs[i] = np.where(found, coeff, F32(0.0))
+            if found.any():
+                cap = max(cap, row_cap(h.indptr, r[found]))
+        sc = self.config.scoring
+        scale = jnp.float32(2.0**sc.scale_bits)
+        clip = jnp.float32(int(spec.quant_clip_max(self.config.max_query_terms)))
+        shard0 = NamedSharding(self.mesh, P(DOCS_AXIS))
+        vals, gids = _sharded_search_step(
+            idx.indptr,
+            idx.post_doc,
+            idx.post_val,
+            idx.alive,
+            idx.doc_base,
+            jax.device_put(rows, shard0),
+            jax.device_put(coeffs, shard0),
+            scale,
+            clip,
+            k=k,
+            cap=cap,
+            d_pad=idx.d_pad,
+            mesh_=self.mesh,
+        )
+        return (
+            np.asarray(gids)[:nq].astype(np.int64),
+            np.asarray(vals)[:nq].astype(np.int64),
+        )

@@ -15,3 +15,10 @@ if "xla_force_host_platform_device_count" not in _flags:
     ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The axon sitecustomize calls register(), which force-sets the
+# jax_platforms config to "axon,cpu" — overriding the env var. Override it
+# back: tests always run on the CPU backend with 8 virtual devices.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

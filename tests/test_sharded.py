@@ -1,0 +1,60 @@
+"""Sharding invariance (SURVEY.md §4 "multi-chip without a cluster"):
+on an 8-virtual-device CPU mesh, the sharded engine must return rankings
+bit-identical to the single-device engine and the oracle, for every shard
+count — the fixed-point scoring spec (DESIGN.md §2) makes this exact."""
+import numpy as np
+import pytest
+
+from document_search_engine_tpu.config import IndexConfig, ScoringConfig
+from document_search_engine_tpu.corpus.synth import synth_corpus, synth_queries
+from document_search_engine_tpu.engine.engine import SearchEngine
+from document_search_engine_tpu.oracle import OracleEngine
+from document_search_engine_tpu.parallel.dist import DistributedSearchEngine
+from document_search_engine_tpu.parallel.mesh import make_mesh
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    docs = synth_corpus(n_docs=90, vocab_size=600, mean_len=35, seed=11)
+    queries = synth_queries(docs, n_queries=9, terms_per_query=5, seed=12)
+    queries += ["", "zzzunknown"]
+    return docs, queries
+
+
+@pytest.mark.parametrize("kind", ["tfidf", "bm25"])
+@pytest.mark.parametrize("n_shards", [1, 2, 4, 8])
+def test_shard_count_invariance(corpus, kind, n_shards):
+    docs, queries = corpus
+    cfg = IndexConfig(scoring=ScoringConfig(kind=kind))
+    ref = SearchEngine(cfg)
+    ref.build(docs)
+    r_ids, r_scores = ref.search(queries, k=10)
+
+    dist = DistributedSearchEngine(cfg, mesh=make_mesh(n_shards))
+    dist.build(docs)
+    d_ids, d_scores = dist.search(queries, k=10)
+
+    np.testing.assert_array_equal(d_ids, r_ids)
+    np.testing.assert_array_equal(d_scores, r_scores)
+
+
+def test_sharded_matches_oracle(corpus):
+    docs, queries = corpus
+    cfg = IndexConfig(scoring=ScoringConfig(kind="bm25"))
+    ora = OracleEngine(cfg)
+    ora.build(docs)
+    o_ids, o_scores = ora.search(queries, k=10)
+    dist = DistributedSearchEngine(cfg, mesh=make_mesh(4))
+    dist.build(docs)
+    d_ids, d_scores = dist.search(queries, k=10)
+    np.testing.assert_array_equal(d_ids, o_ids)
+    np.testing.assert_array_equal(d_scores, o_scores)
+
+
+def test_more_shards_than_docs():
+    docs = ["only one", "and two", "then three"]
+    dist = DistributedSearchEngine(mesh=make_mesh(8))
+    dist.build(docs)
+    ids, scores = dist.search(["two", "three one"], k=3)
+    assert ids[0, 0] == 1
+    assert set(ids[1, :2].tolist()) == {0, 2}
