@@ -1,0 +1,123 @@
+"""CLI (SURVEY.md §1 L6): index build, search, eval.
+
+    python -m document_search_engine_tpu index  <corpus_dir> --out <idx_dir>
+    python -m document_search_engine_tpu search <idx_dir> "query text" -k 10
+    python -m document_search_engine_tpu eval   [--kind bm25]
+
+Mirrors the reference's `search(query, k)` + CLI surface (SURVEY.md §2a)
+on top of the TPU engine.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def cmd_index(args):
+    from .config import IndexConfig, ScoringConfig
+    from .corpus.loader import load_dir
+    from .engine.engine import SearchEngine
+
+    docs = load_dir(args.corpus_dir)
+    if not docs:
+        print(f"no documents found under {args.corpus_dir}", file=sys.stderr)
+        return 1
+    names = [n for n, _ in docs]
+    cfg = IndexConfig(scoring=ScoringConfig(kind=args.kind))
+    eng = SearchEngine(cfg)
+    t0 = time.perf_counter()
+    eng.build([t for _, t in docs])
+    dt = time.perf_counter() - t0
+    eng.save(args.out)
+    with open(f"{args.out}/docnames.json", "w") as f:
+        json.dump(names, f)
+    print(
+        json.dumps(
+            {
+                "docs": len(docs),
+                "terms": int(len(eng.stats.vocab)),
+                "build_secs": round(dt, 2),
+                "docs_per_sec": round(len(docs) / dt, 1),
+                "out": args.out,
+            }
+        )
+    )
+    return 0
+
+
+def cmd_search(args):
+    from .engine.engine import SearchEngine
+
+    eng = SearchEngine.load(args.index_dir)
+    try:
+        with open(f"{args.index_dir}/docnames.json") as f:
+            names = json.load(f)
+    except OSError:
+        names = None
+    t0 = time.perf_counter()
+    ids, scores = eng.search([args.query], k=args.k)
+    dt = time.perf_counter() - t0
+    sb = eng.config.scoring.scale_bits
+    for rank, (g, s) in enumerate(zip(ids[0], scores[0]), 1):
+        if g < 0:
+            break
+        name = names[g] if names and g < len(names) else str(g)
+        print(f"{rank:3d}. {name}  score={s / (1 << sb):.6f}  (doc {g})")
+    print(f"[{dt*1e3:.1f} ms]", file=sys.stderr)
+    return 0
+
+
+def cmd_eval(args):
+    from .config import IndexConfig, ScoringConfig
+    from .engine.engine import SearchEngine
+    from .eval.harness import (
+        parity_report,
+        topic_corpus,
+        topic_queries,
+    )
+    from .oracle import OracleEngine
+
+    docs, doc_topics, topics = topic_corpus(seed=args.seed)
+    queries, q_topics = topic_queries(topics)
+    cfg = IndexConfig(scoring=ScoringConfig(kind=args.kind))
+    eng = SearchEngine(cfg)
+    eng.build(docs)
+    ora = OracleEngine(cfg)
+    ora.build(docs)
+    rep = parity_report(eng, ora, queries, q_topics, doc_topics)
+    print(json.dumps(rep, indent=2))
+    return 0
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="document_search_engine_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("index", help="build an index from a directory")
+    pi.add_argument("corpus_dir")
+    pi.add_argument("--out", required=True)
+    pi.add_argument("--kind", default="bm25", choices=["tfidf", "bm25"])
+    pi.set_defaults(fn=cmd_index)
+
+    ps = sub.add_parser("search", help="query a saved index")
+    ps.add_argument("index_dir")
+    ps.add_argument("query")
+    ps.add_argument("-k", type=int, default=10)
+    ps.set_defaults(fn=cmd_search)
+
+    pe = sub.add_parser("eval", help="topic-corpus quality + parity report")
+    pe.add_argument("--kind", default="bm25", choices=["tfidf", "bm25"])
+    pe.add_argument("--seed", type=int, default=0)
+    pe.set_defaults(fn=cmd_eval)
+
+    args = p.parse_args(argv)
+    from .utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -12,8 +12,8 @@ import numpy as np
 from ..config import IndexConfig
 from ..index import builder
 from ..index.csr import GlobalStats, SegmentDevice, SegmentHost, merge_stats
-from ..ops.exact import row_cap, score_exact
-from ..ops.topk import merge_candidates, topk_ranked
+from ..ops.packed import search_packed, total_cap
+from ..ops.topk import merge_candidates
 from ..oracle import spec
 from .query import QueryFrontend, segment_rows
 
@@ -23,6 +23,22 @@ F32 = np.float32
 def _pow2_at_least(n: int, lo: int = 1) -> int:
     n = max(n, lo)
     return 1 << int(np.ceil(np.log2(n)))
+
+
+def slice_active_slots(slot_h: np.ndarray, coeff: np.ndarray):
+    """Trim trailing all-zero slot columns to a pow-2 width.
+
+    The packed kernel's window aggregation costs O(S) shifted passes, so
+    shrinking S from max_query_terms (32) to the batch's actual need
+    (usually 8) matters. Only *trailing* zero columns are safe to cut —
+    zero-coeff slots may be interleaved with active ones (hash order).
+    """
+    nz = coeff > 0
+    last = np.where(
+        nz.any(axis=1), nz.shape[1] - np.argmax(nz[:, ::-1], axis=1), 1
+    )
+    s_active = min(_pow2_at_least(int(last.max()), lo=2), coeff.shape[1])
+    return slot_h[:, :s_active], coeff[:, :s_active]
 
 
 class SearchEngine:
@@ -98,6 +114,58 @@ class SearchEngine:
         if changed:
             self._refresh_stats_and_vals()
 
+    def compact(self) -> None:
+        """Merge all segments into one, physically dropping tombstoned
+        docs' postings. Global doc ids are stable (dead ids keep empty
+        slots); search results are identical before and after (tested)."""
+        if not self.segments:
+            return
+        n = self.n_docs_total
+        hashes_parts, tfs_parts, ptr = [], [], np.zeros(n + 1, np.int64)
+        dl = np.zeros(n, np.int32)
+        dead = np.zeros(n, bool)
+        for host, _ in self.segments:
+            for ld in range(host.n_docs):
+                g = host.doc_base + ld
+                if host.alive[ld]:
+                    s, e = host.doc_ptr[ld], host.doc_ptr[ld + 1]
+                    hashes_parts.append(host.doc_hashes[s:e])
+                    tfs_parts.append(host.doc_tfs[s:e])
+                    ptr[g + 1] = e - s
+                    dl[g] = host.dl[ld]
+                else:
+                    dead[g] = True
+        np.cumsum(ptr, out=ptr)
+        analyzed = builder.AnalyzedDocs(
+            hashes=(
+                np.concatenate(hashes_parts)
+                if hashes_parts
+                else np.zeros(0, np.uint64)
+            ),
+            tfs=(
+                np.concatenate(tfs_parts)
+                if tfs_parts
+                else np.zeros(0, np.int32)
+            ),
+            doc_ptr=ptr,
+            dl=dl,
+        )
+        host, device = builder.build_segment(analyzed, self.config, doc_base=0)
+        host.alive[dead] = False
+        self.segments = [[host, device]]
+        self._refresh_stats_and_vals()
+
+    def save(self, path: str) -> None:
+        from ..index.checkpoint import save_engine
+
+        save_engine(self, path)
+
+    @classmethod
+    def load(cls, path: str) -> "SearchEngine":
+        from ..index.checkpoint import load_engine
+
+        return load_engine(path, engine_cls=cls)
+
     # ------------------------------------------------------------ search
     def search(self, queries, k: int = 10):
         """Batched search: (ids, scores) int64 arrays of shape (nq, k),
@@ -109,6 +177,7 @@ class SearchEngine:
                 np.full((nq, k), -1, np.int64),
             )
         slot_h, coeff = self.frontend.analyze(queries, self.stats)
+        slot_h, coeff = slice_active_slots(slot_h, coeff)
         nq_pad = _pow2_at_least(nq)
         if nq_pad > nq:
             slot_h = np.vstack(
@@ -125,23 +194,20 @@ class SearchEngine:
         for host, device in self.segments:
             rows, found = segment_rows(host.term_hash, slot_h)
             a_seg = np.where(found, coeff, F32(0.0)).astype(F32)
-            cap = row_cap(host.indptr, rows[found]) if found.any() else 8
-            scores = score_exact(
+            c = total_cap(host.indptr, rows, found)
+            vals, gids = search_packed(
                 device.indptr,
                 device.post_doc,
                 device.post_val,
+                device.alive,
                 rows,
                 a_seg,
                 scale,
                 clip,
-                cap=cap,
-                n_docs_pad=device.n_docs_pad,
-            )
-            gid_cols = np.arange(device.n_docs_pad, dtype=np.int32) + np.int32(
-                host.doc_base
-            )
-            vals, gids = topk_ranked(
-                scores, device.alive, gid_cols, k=k
+                np.int32(host.doc_base),
+                c_total=c,
+                k=k,
+                n_docs=host.n_docs,
             )
             all_vals.append(vals)
             all_gids.append(gids)

@@ -1,0 +1,124 @@
+"""Packed sort-based scorer+ranker: the production search step.
+
+Replaces the dense (nq, n_docs) score buffer + scatter-add + giant top-k
+(all of which scale with corpus size and hit TPU scatter, its slowest op)
+with a pipeline whose cost depends only on the postings actually touched:
+
+1. pack     — address exactly the CSR postings of each query's slots into a
+              (nq, C) buffer, C = pow-2 budget of the batch's max total
+              postings per query (computed on host from indptr). Slot
+              bookkeeping uses masked sums over the S slots, not gathers
+              (measured: take_along_axis costs ~50ms per 4M elements on
+              this TPU; elementwise masked sums are ~1ms).
+2. quantize — fixed-point int32 contributions (DESIGN.md §2);
+3. sort     — per-row `lax.sort` by doc id (co-permuting contributions);
+4. reduce   — a doc can appear at most once per slot, so after the sort
+              its contributions occupy <= S adjacent positions: run-sums
+              are S-1 shifted compare-add windows — no cumsum, no scans;
+5. rank     — `lax.top_k` over run-end candidates; rows are doc-ascending,
+              so tie-stability-by-index == tie-break-by-doc-id.
+
+Every arithmetic step is order-free integer math on identically-quantized
+f32 products, so results are bit-identical to the dense reference path
+(ops/exact.py + ops/topk.py) and to the CPU oracle — tested both ways.
+Work is O(nq * C * (S + log C)) independent of corpus size: an 8M-doc
+shard costs the same as an 80k-doc shard for the same query load.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def total_cap(indptr: np.ndarray, rows: np.ndarray, found: np.ndarray) -> int:
+    """Static packed-budget C for a batch: max per-query total postings,
+    pow-2 bucketed (bounds recompiles)."""
+    if len(indptr) < 2 or rows.size == 0:  # empty segment or no queries
+        return 16
+    lens = (indptr[rows + 1] - indptr[rows]) * found
+    m = int(lens.sum(axis=1).max())
+    return max(16, 1 << int(np.ceil(np.log2(max(m, 1)))))
+
+
+@partial(jax.jit, static_argnames=("c_total", "k", "n_docs"))
+def search_packed(
+    indptr: jnp.ndarray,  # (T+1,) int32
+    post_doc: jnp.ndarray,  # (nnz_pad,) int32
+    post_val: jnp.ndarray,  # (nnz_pad,) f32
+    alive: jnp.ndarray,  # (D_pad,) bool
+    rows: jnp.ndarray,  # (nq, S) int32 (0 where missing)
+    coeff: jnp.ndarray,  # (nq, S) f32 (0 where missing)
+    scale: jnp.ndarray,  # f32 scalar 2^scale_bits
+    clip: jnp.ndarray,  # f32 scalar per-contribution clip
+    doc_base: jnp.ndarray,  # int32 scalar — global id of local doc 0
+    c_total: int,
+    k: int,
+    n_docs: int,  # local doc-id sentinel for padding (> any real doc)
+):
+    """(vals (nq,k) int32, gids (nq,k) int32), ranked (score desc, gid asc),
+    matching (score>0) alive docs only; empty slots are (-1, -1)."""
+    nq, s = rows.shape
+    starts = indptr[rows]  # (nq, S) — small gathers
+    lens = indptr[rows + 1] - starts
+    lens = jnp.where(coeff > 0, lens, 0)  # missing slots pack nothing
+    cum = jnp.concatenate(
+        [jnp.zeros((nq, 1), lens.dtype), jnp.cumsum(lens, axis=1)], axis=1
+    )  # (nq, S+1)
+    total = cum[:, -1:]  # (nq, 1)
+
+    p = jnp.arange(c_total, dtype=jnp.int32)[None, :]  # (1, C)
+    valid = p < total  # (nq, C)
+    # per-position slot attributes via masked sums over the S slots
+    idx = jnp.zeros((nq, c_total), jnp.int32)
+    a = jnp.zeros((nq, c_total), jnp.float32)
+    for j in range(s):
+        in_j = (p >= cum[:, j : j + 1]) & (p < cum[:, j + 1 : j + 2])
+        idx = idx + jnp.where(
+            in_j, starts[:, j : j + 1] + (p - cum[:, j : j + 1]), 0
+        )
+        a = a + jnp.where(in_j, coeff[:, j : j + 1], 0.0)
+    idx = jnp.where(valid, idx, 0)
+
+    d = post_doc[idx]  # (nq, C) local doc ids — the two big gathers
+    v = post_val[idx]
+    # fixed-point quantization (DESIGN.md §2): identical to oracle/spec.py
+    ci_f = jnp.round((a * v) * scale)
+    ci = jnp.clip(ci_f, 0.0, clip).astype(jnp.int32)
+    alive_d = alive[jnp.clip(d, 0, alive.shape[0] - 1)]
+    ci = jnp.where(valid & alive_d, ci, 0)
+    d_key = jnp.where(valid, d, n_docs)  # padding sorts last
+
+    d_s, ci_s = jax.lax.sort((d_key, ci), dimension=1, num_keys=1)
+
+    # run-sums via shifted windows: a doc occupies <= S adjacent positions
+    next_d = jnp.concatenate(
+        [d_s[:, 1:], jnp.full((nq, 1), -2, d_s.dtype)], axis=1
+    )
+    last = d_s != next_d
+    run_sum = ci_s
+    for j in range(1, s):
+        d_shift = jnp.concatenate(
+            [jnp.full((nq, j), -1, d_s.dtype), d_s[:, : c_total - j]], axis=1
+        )
+        ci_shift = jnp.concatenate(
+            [jnp.zeros((nq, j), ci_s.dtype), ci_s[:, : c_total - j]], axis=1
+        )
+        run_sum = run_sum + jnp.where(d_shift == d_s, ci_shift, 0)
+
+    cand = jnp.where(last & (d_s < n_docs) & (run_sum > 0), run_sum, -1)
+    kk = min(k, c_total)
+    vals, sel = jax.lax.top_k(cand, kk)  # doc-ascending rows: ties by id
+    gids = jnp.take_along_axis(d_s, sel, axis=1) + doc_base
+    gids = jnp.where(vals > 0, gids, -1)
+    vals = jnp.where(vals > 0, vals, -1)
+    if kk < k:
+        vals = jnp.concatenate(
+            [vals, jnp.full((nq, k - kk), -1, vals.dtype)], axis=1
+        )
+        gids = jnp.concatenate(
+            [gids, jnp.full((nq, k - kk), -1, gids.dtype)], axis=1
+        )
+    return vals, gids

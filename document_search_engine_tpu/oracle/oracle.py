@@ -165,8 +165,8 @@ class OracleEngine:
             order = np.lexsort((np.arange(n_docs), -scores))[:kk]
             out_ids[qi, :kk] = order
             out_scores[qi, :kk] = scores[order]
-            # mask fully-dead slots (score -1 means deleted/padding)
-            dead = out_scores[qi] < 0
+            # matching docs only (DESIGN.md §2): score <= 0 is excluded
+            dead = out_scores[qi] <= 0
             out_ids[qi][dead] = -1
             out_scores[qi][dead] = -1
         return out_ids, out_scores

@@ -23,8 +23,8 @@ from ..config import IndexConfig
 from ..engine.query import QueryFrontend, segment_rows
 from ..index import builder
 from ..index.csr import GlobalStats, merge_stats, round_up
-from ..ops.exact import row_cap, score_exact
-from ..ops.topk import merge_candidates, topk_ranked
+from ..ops.packed import search_packed, total_cap
+from ..ops.topk import merge_candidates
 from ..oracle import spec
 from .mesh import DOCS_AXIS, make_mesh
 
@@ -157,7 +157,7 @@ def _sharded_search_step(
     scale,
     clip,
     k: int,
-    cap: int,
+    cap: int,  # packed total budget (uniform max across shards)
     d_pad: int,
     mesh_: Mesh,
 ):
@@ -167,11 +167,12 @@ def _sharded_search_step(
     def local(ip, pd, pv, al, base, r, a):
         ip, pd, pv, al = ip[0], pd[0], pv[0], al[0]
         r, a = r[0], a[0]
-        scores = score_exact(
-            ip, pd, pv, r, a, scale, clip, cap=cap, n_docs_pad=d_pad
+        # d_pad-1 is a safe uniform local sentinel: every shard's real
+        # local ids are <= d_pad-2 (d_pad >= max local docs + 1).
+        vals, gids = search_packed(
+            ip, pd, pv, al, r, a, scale, clip, base[0, 0],
+            c_total=cap, k=k, n_docs=d_pad - 1,
         )
-        gid_cols = jnp.arange(d_pad, dtype=jnp.int32) + base[0, 0]
-        vals, gids = topk_ranked(scores, al, gid_cols, k=k)
         # ICI boundary: gather every shard's candidates, merge everywhere.
         vals_g = jax.lax.all_gather(vals, DOCS_AXIS)  # (S, nq, k)
         gids_g = jax.lax.all_gather(gids, DOCS_AXIS)
@@ -217,6 +218,9 @@ class DistributedSearchEngine:
                 np.full((nq, k), -1, np.int64),
             )
         slot_h, coeff = self.frontend.analyze(queries, idx.stats)
+        from ..engine.engine import slice_active_slots
+
+        slot_h, coeff = slice_active_slots(slot_h, coeff)
         nq_pad = 1 << int(np.ceil(np.log2(max(nq, 1))))
         if nq_pad > nq:
             slot_h = np.vstack(
@@ -229,13 +233,12 @@ class DistributedSearchEngine:
         s = slot_h.shape[1]
         rows = np.zeros((n_shards, nq_pad, s), np.int32)
         coeffs = np.zeros((n_shards, nq_pad, s), F32)
-        cap = 8
+        cap = 16
         for i, h in enumerate(idx.hosts):
             r, found = segment_rows(h.term_hash, slot_h)
             rows[i] = r
             coeffs[i] = np.where(found, coeff, F32(0.0))
-            if found.any():
-                cap = max(cap, row_cap(h.indptr, r[found]))
+            cap = max(cap, total_cap(h.indptr, r, found))
         sc = self.config.scoring
         scale = jnp.float32(2.0**sc.scale_bits)
         clip = jnp.float32(int(spec.quant_clip_max(self.config.max_query_terms)))

@@ -1,0 +1,98 @@
+"""Engine lifecycle features: checkpoint save/load, compact, corpus loader,
+CLI, eval metrics (SURVEY.md §5)."""
+import json
+
+import numpy as np
+
+from document_search_engine_tpu.config import IndexConfig, ScoringConfig
+from document_search_engine_tpu.corpus.loader import load_dir, stream_batches
+from document_search_engine_tpu.corpus.synth import synth_corpus, synth_queries
+from document_search_engine_tpu.engine.engine import SearchEngine
+from document_search_engine_tpu.eval.metrics import (
+    mean_average_precision,
+    recall_at_k,
+)
+
+
+def _engine_and_queries(kind="bm25", n=50, seed=2):
+    docs = synth_corpus(n_docs=n, vocab_size=400, mean_len=30, seed=seed)
+    queries = synth_queries(docs, n_queries=6, seed=seed + 1)
+    eng = SearchEngine(IndexConfig(scoring=ScoringConfig(kind=kind)))
+    eng.build(docs)
+    return eng, docs, queries
+
+
+def test_save_load_roundtrip(tmp_path):
+    for kind in ("tfidf", "bm25"):
+        eng, docs, queries = _engine_and_queries(kind)
+        eng.add_docs(docs[:5])
+        eng.delete_docs([1, 52])
+        ref_ids, ref_scores = eng.search(queries, k=10)
+        path = str(tmp_path / f"idx_{kind}")
+        eng.save(path)
+        eng2 = SearchEngine.load(path)
+        ids, scores = eng2.search(queries, k=10)
+        np.testing.assert_array_equal(ids, ref_ids)
+        np.testing.assert_array_equal(scores, ref_scores)
+        assert eng2.config.scoring.kind == kind
+
+
+def test_compact_preserves_results():
+    for kind in ("tfidf", "bm25"):
+        eng, docs, queries = _engine_and_queries(kind, seed=5)
+        eng.add_docs(docs[:10])  # second segment
+        eng.delete_docs([0, 3, 55])
+        ref_ids, ref_scores = eng.search(queries, k=10)
+        n_seg_before = len(eng.segments)
+        eng.compact()
+        assert len(eng.segments) == 1
+        assert n_seg_before == 2
+        ids, scores = eng.search(queries, k=10)
+        np.testing.assert_array_equal(ids, ref_ids)
+        np.testing.assert_array_equal(scores, ref_scores)
+        # deleted ids never come back
+        assert not set(ids.ravel().tolist()) & {0, 3, 55}
+
+
+def test_corpus_loader(tmp_path):
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "b.txt").write_text("beta content")
+    (d / "a.txt").write_text("alpha content")
+    sub = d / "sub"
+    sub.mkdir()
+    (sub / "c.txt").write_text("gamma content")
+    docs = load_dir(str(d))
+    assert [n for n, _ in docs] == ["a.txt", "b.txt", "sub/c.txt"]
+    batches = list(stream_batches(docs, batch_size=2))
+    assert [len(b) for b in batches] == [2, 1]
+
+
+def test_metrics():
+    results = np.array([[3, 1, -1], [9, 9, 9]])
+    relevant = [[3, 7], [1]]
+    assert recall_at_k(results, relevant) == 0.25
+    ap = mean_average_precision(results, relevant)
+    assert 0.24 < ap < 0.26  # AP(q0)=1/2*(1/1)/... = 0.5; AP(q1)=0
+
+    from document_search_engine_tpu.eval.metrics import ranking_agreement
+
+    assert ranking_agreement(results, results) == 1.0
+
+
+def test_cli_end_to_end(tmp_path, capsys):
+    from document_search_engine_tpu.cli import main
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "one.txt").write_text("apples and oranges are fruit")
+    (d / "two.txt").write_text("cars and trucks are vehicles")
+    (d / "three.txt").write_text("apples grow on trees")
+    idx = str(tmp_path / "idx")
+    assert main(["index", str(d), "--out", idx, "--kind", "bm25"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["docs"] == 3
+    assert main(["search", idx, "apples", "-k", "2"]) == 0
+    out = capsys.readouterr().out
+    assert "one.txt" in out or "three.txt" in out
+    assert "two.txt" not in out

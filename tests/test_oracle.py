@@ -74,10 +74,10 @@ def test_empty_and_unknown_query():
     eng = OracleEngine()
     eng.build(["alpha beta", "gamma delta"])
     ids, scores = eng.search(["zzznotaterm", ""], k=2)
-    # all scores 0 -> doc-id ascending order
-    assert list(ids[0]) == [0, 1]
-    assert list(scores[0]) == [0, 0]
-    assert list(ids[1]) == [0, 1]
+    # matching docs only (DESIGN.md §2): no match -> all slots empty
+    assert list(ids[0]) == [-1, -1]
+    assert list(scores[0]) == [-1, -1]
+    assert list(ids[1]) == [-1, -1]
 
 
 def test_synth_corpus_self_retrieval():
