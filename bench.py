@@ -115,14 +115,21 @@ def main():
     rows_d = jnp.asarray(rows)
     coeff_d = jnp.asarray(coeff)
 
-    def step(rows_d, coeff_d):
+    # index arrays must be jit *arguments*, not closure constants — the
+    # axon remote-compile path ships the HLO (including constants) over
+    # HTTP and a closed-over index blows its body-size limit.
+    def step(ip, pd, pv, rows_d, coeff_d):
         return search_packed(
-            dev["indptr"], dev["post_doc"], dev["post_val"], dev["alive"],
-            rows_d, coeff_d, scale, clip, jnp.int32(0),
+            ip, pd, pv, rows_d, coeff_d, scale, clip, jnp.int32(0),
             c_total=c_total, k=k, n_docs=n_docs,
         )
 
-    step_j = jax.jit(step)
+    step_full = jax.jit(step)
+
+    def step_j(rows_d, coeff_d):
+        return step_full(
+            dev["indptr"], dev["post_doc"], dev["post_val"], rows_d, coeff_d,
+        )
     # NB: block_until_ready does not reliably sync on the axon platform —
     # force completion with a device-to-host read (which a serving loop
     # performs anyway to return ids).

@@ -199,7 +199,6 @@ class SearchEngine:
                 device.indptr,
                 device.post_doc,
                 device.post_val,
-                device.alive,
                 rows,
                 a_seg,
                 scale,

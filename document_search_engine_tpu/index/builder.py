@@ -218,6 +218,10 @@ def refresh_segment_vals(
     vals = materialize_vals(
         d, t.astype(F32), dl_f, inv_norm, config, stats
     )
+    # Fold tombstones into the impact values: dead docs' postings become 0
+    # and are excluded by the score>0 rule — the scorer then needs no
+    # per-posting alive gather (a measured ~40ms/4M-element op on TPU).
+    vals = vals * host.alive[d].astype(F32)
     import jax.numpy as jnp
 
     d_pad = device.n_docs_pad

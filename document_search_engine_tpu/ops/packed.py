@@ -47,8 +47,7 @@ def total_cap(indptr: np.ndarray, rows: np.ndarray, found: np.ndarray) -> int:
 def search_packed(
     indptr: jnp.ndarray,  # (T+1,) int32
     post_doc: jnp.ndarray,  # (nnz_pad,) int32
-    post_val: jnp.ndarray,  # (nnz_pad,) f32
-    alive: jnp.ndarray,  # (D_pad,) bool
+    post_val: jnp.ndarray,  # (nnz_pad,) f32 — 0 for tombstoned docs
     rows: jnp.ndarray,  # (nq, S) int32 (0 where missing)
     coeff: jnp.ndarray,  # (nq, S) f32 (0 where missing)
     scale: jnp.ndarray,  # f32 scalar 2^scale_bits
@@ -87,10 +86,15 @@ def search_packed(
     # fixed-point quantization (DESIGN.md §2): identical to oracle/spec.py
     ci_f = jnp.round((a * v) * scale)
     ci = jnp.clip(ci_f, 0.0, clip).astype(jnp.int32)
-    alive_d = alive[jnp.clip(d, 0, alive.shape[0] - 1)]
-    ci = jnp.where(valid & alive_d, ci, 0)
+    ci = jnp.where(valid, ci, 0)
     d_key = jnp.where(valid, d, n_docs)  # padding sorts last
+    return rank_candidates(d_key, ci, doc_base, s, k, n_docs)
 
+
+def rank_candidates(d_key, ci, doc_base, s: int, k: int, n_docs: int):
+    """Shared tail of the packed scorers: sort by doc, window run-sums,
+    ranked top-k (see module docstring, stages 3-5)."""
+    nq, c_total = d_key.shape
     d_s, ci_s = jax.lax.sort((d_key, ci), dimension=1, num_keys=1)
 
     # run-sums via shifted windows: a doc occupies <= S adjacent positions
@@ -122,3 +126,63 @@ def search_packed(
             [gids, jnp.full((nq, k - kk), -1, gids.dtype)], axis=1
         )
     return vals, gids
+
+
+@partial(
+    jax.jit, static_argnames=("n_blocks", "k", "n_docs", "interpret")
+)
+def search_packed_rec(
+    post_rec: jnp.ndarray,  # (nnz_pad, 2) int32 [doc, bitcast(val)]
+    indptr: jnp.ndarray,  # (T+1,) int32
+    rows: jnp.ndarray,  # (nq, S) int32
+    coeff: jnp.ndarray,  # (nq, S) f32
+    scale: jnp.ndarray,
+    clip: jnp.ndarray,
+    doc_base: jnp.ndarray,
+    n_blocks: int,
+    k: int,
+    n_docs: int,
+    interpret: bool = False,
+):
+    """search_packed with the packing stage done by the Pallas DMA kernel
+    (ops/pack_pallas.py): contiguous block DMAs instead of random gathers.
+    Destination regions are block-aligned per slot, so positions are
+    attributed to slots in *block* units ((nq, n_blocks) arrays — tiny).
+    Bit-identical to search_packed (tested)."""
+    from .pack_pallas import BLOCK, _src_table, pack_postings_pallas
+
+    nq, s = rows.shape
+    starts = indptr[rows]
+    lens = indptr[rows + 1] - starts
+    lens = jnp.where(coeff > 0, lens, 0)
+    src, blk_cum = _src_table(
+        starts, lens, n_blocks, BLOCK, int(post_rec.shape[0])
+    )
+    packed = pack_postings_pallas(
+        post_rec, src, n_blocks=n_blocks, interpret=interpret
+    )  # (nq, NB*B, 2)
+    d = packed[..., 0]
+    v = jax.lax.bitcast_convert_type(packed[..., 1], jnp.float32)
+
+    # per-block slot attribution (block-aligned regions)
+    blk = jnp.arange(n_blocks, dtype=jnp.int32)[None, :]  # (1, NB)
+    a_b = jnp.zeros((nq, n_blocks), jnp.float32)
+    rem_b = jnp.zeros((nq, n_blocks), jnp.int32)  # postings left at block
+    for t in range(s):
+        in_t = (blk >= blk_cum[:, t : t + 1]) & (
+            blk < blk_cum[:, t + 1 : t + 2]
+        )
+        off_t = (blk - blk_cum[:, t : t + 1]) * BLOCK
+        a_b = a_b + jnp.where(in_t, coeff[:, t : t + 1], 0.0)
+        rem_b = rem_b + jnp.where(in_t, lens[:, t : t + 1] - off_t, 0)
+    lane = jnp.arange(BLOCK, dtype=jnp.int32)[None, None, :]
+    valid = (lane < rem_b[:, :, None]).reshape(nq, n_blocks * BLOCK)
+    a = jnp.broadcast_to(
+        a_b[:, :, None], (nq, n_blocks, BLOCK)
+    ).reshape(nq, n_blocks * BLOCK)
+
+    ci_f = jnp.round((a * v) * scale)
+    ci = jnp.clip(ci_f, 0.0, clip).astype(jnp.int32)
+    ci = jnp.where(valid, ci, 0)
+    d_key = jnp.where(valid, d, n_docs)
+    return rank_candidates(d_key, ci, doc_base, s, k, n_docs)

@@ -150,7 +150,6 @@ def _sharded_search_step(
     indptr,
     post_doc,
     post_val,
-    alive,
     doc_base,
     rows,
     coeff,
@@ -164,13 +163,13 @@ def _sharded_search_step(
     """One SPMD search step (DESIGN.md §5): runs identically on every
     shard; output is the replicated global top-k."""
 
-    def local(ip, pd, pv, al, base, r, a):
-        ip, pd, pv, al = ip[0], pd[0], pv[0], al[0]
+    def local(ip, pd, pv, base, r, a):
+        ip, pd, pv = ip[0], pd[0], pv[0]
         r, a = r[0], a[0]
         # d_pad-1 is a safe uniform local sentinel: every shard's real
         # local ids are <= d_pad-2 (d_pad >= max local docs + 1).
         vals, gids = search_packed(
-            ip, pd, pv, al, r, a, scale, clip, base[0, 0],
+            ip, pd, pv, r, a, scale, clip, base[0, 0],
             c_total=cap, k=k, n_docs=d_pad - 1,
         )
         # ICI boundary: gather every shard's candidates, merge everywhere.
@@ -189,9 +188,9 @@ def _sharded_search_step(
     vals_all, gids_all = shard_map(
         local,
         mesh=mesh_,
-        in_specs=(sh, sh, sh, sh, sh, sh, sh),
+        in_specs=(sh, sh, sh, sh, sh, sh),
         out_specs=(sh, sh),
-    )(indptr, post_doc, post_val, alive, doc_base, rows, coeff)
+    )(indptr, post_doc, post_val, doc_base, rows, coeff)
     # (n_shards, nq, k) of identical replicas -> one copy.
     return vals_all[0], gids_all[0]
 
@@ -247,7 +246,6 @@ class DistributedSearchEngine:
             idx.indptr,
             idx.post_doc,
             idx.post_val,
-            idx.alive,
             idx.doc_base,
             jax.device_put(rows, shard0),
             jax.device_put(coeffs, shard0),

@@ -40,9 +40,11 @@ def test_packed_matches_dense_reference():
     for k in (1, 5, 20, 300):
         ref_v, ref_g = topk_ranked(scores, jnp.asarray(alive), gid_cols, k=k)
         c = total_cap(indptr, rows, found)
+        # tombstones are folded into post_val (builder zeroes dead docs)
+        pv_masked = post_val * alive[post_doc]
         got_v, got_g = search_packed(
-            jnp.asarray(indptr), jnp.asarray(post_doc), jnp.asarray(post_val),
-            jnp.asarray(alive), jnp.asarray(rows), jnp.asarray(coeff),
+            jnp.asarray(indptr), jnp.asarray(post_doc), jnp.asarray(pv_masked),
+            jnp.asarray(rows), jnp.asarray(coeff),
             scale, clip, jnp.int32(1000),
             c_total=c, k=k, n_docs=n_docs,
         )
@@ -62,8 +64,9 @@ def test_packed_duplicate_term_rows_and_empty():
     scale, clip = jnp.float32(2.0**16), jnp.float32(65075262)
     c = total_cap(indptr, rows, coeff > 0)
     v, g = search_packed(
-        jnp.asarray(indptr), jnp.asarray(post_doc), jnp.asarray(post_val),
-        jnp.asarray(alive), jnp.asarray(rows), jnp.asarray(coeff),
+        jnp.asarray(indptr), jnp.asarray(post_doc),
+        jnp.asarray(post_val * alive[post_doc]),
+        jnp.asarray(rows), jnp.asarray(coeff),
         scale, clip, jnp.int32(0), c_total=c, k=5, n_docs=50,
     )
     v, g = np.asarray(v), np.asarray(g)
@@ -83,3 +86,63 @@ def test_packed_duplicate_term_rows_and_empty():
     )
     np.testing.assert_array_equal(v[0], np.asarray(ref_v)[0])
     np.testing.assert_array_equal(g[0], np.asarray(ref_g)[0])
+
+
+def test_packed_rec_matches_packed():
+    """Pallas-DMA-packed variant must equal the gather-packed path
+    bit-for-bit (interpret mode on CPU)."""
+    import jax
+
+    from document_search_engine_tpu.ops.pack_pallas import (
+        block_plan,
+        interleave_postings,
+    )
+    from document_search_engine_tpu.ops.packed import search_packed_rec
+
+    rng = np.random.default_rng(11)
+    n_terms, n_docs = 30, 5000
+    # some long rows to exercise multi-block slots
+    lens = rng.integers(1, 6000, n_terms)
+    indptr = np.zeros(n_terms + 1, np.int64)
+    np.cumsum(lens, out=indptr[1:])
+    nnz = int(indptr[-1])
+    post_doc = np.sort(
+        rng.integers(0, n_docs, nnz).astype(np.int32).reshape(1, -1), axis=1
+    ).ravel()
+    # re-sort within rows
+    parts = [
+        np.sort(rng.integers(0, n_docs, l).astype(np.int32)) for l in lens
+    ]
+    post_doc = np.concatenate(parts)
+    post_val = (rng.random(nnz, dtype=np.float32) * 0.9 + 0.05).astype(
+        np.float32
+    )
+    indptr = indptr.astype(np.int32)
+    nq, s = 4, 4
+    rows = rng.integers(0, n_terms, (nq, s)).astype(np.int32)
+    coeff = (rng.random((nq, s)).astype(np.float32) * 1.5)
+    coeff[0, 2] = 0.0
+    scale, clip = jnp.float32(2.0**16), jnp.float32(65075262)
+    found = coeff > 0
+
+    c = total_cap(indptr, rows, found)
+    ref = search_packed(
+        jnp.asarray(indptr), jnp.asarray(post_doc), jnp.asarray(post_val),
+        jnp.asarray(rows), jnp.asarray(coeff), scale, clip, jnp.int32(7),
+        c_total=c, k=12, n_docs=n_docs,
+    )
+    from document_search_engine_tpu.ops.pack_pallas import BLOCK
+
+    nnz_pad = ((nnz + BLOCK - 1) // BLOCK + 1) * BLOCK
+    rec = interleave_postings(
+        np.concatenate([post_doc, np.full(nnz_pad - nnz, n_docs, np.int32)]),
+        np.concatenate([post_val, np.zeros(nnz_pad - nnz, np.float32)]),
+    )
+    nb = block_plan(indptr, rows, found)
+    got = search_packed_rec(
+        rec, jnp.asarray(indptr), jnp.asarray(rows), jnp.asarray(coeff),
+        scale, clip, jnp.int32(7), n_blocks=nb, k=12, n_docs=n_docs,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(ref[1]))
