@@ -1,16 +1,23 @@
 """Benchmark: batched queries/sec/chip (primary metric, BASELINE.json:2).
 
-Builds a synthetic scale index directly as CSR device arrays (Zipf df
-distribution; text analysis is benched separately as build docs/sec on
-stderr) and times the production search step — fixed-point scoring +
-ranked top-k — end to end on the device, excluding compile (warmup) but
-including device sync. Target: >=10k batched queries/sec/chip on an
-8M-doc sharded index (BASELINE.json:5); vs_baseline is value/10000.
+Times the production search step — packed fixed-point scoring + ranked
+top-k (ops/packed.py) — at steady state on the real chip, including the
+per-batch device-to-host result read a serving loop performs. Work in this
+step depends on postings touched per query, not corpus size, so a 1M-doc
+single-chip run approximates queries/sec/chip of an 8M-doc 8-chip
+document-sharded deployment (each chip scores its local shard).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The synthetic Zipf index is generated ON DEVICE under jit: the axon
+tunnel's host->device path measures ~15-30 MB/s (plus a ~400s one-time
+session claim), so shipping a 650MB index from host would take ~30min and
+measure the tunnel, not the engine. Real TPU hosts feed HBM at GB/s.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"};
+vs_baseline is value / 10_000 (the BASELINE.json:5 target).
 
 Env knobs: BENCH_DOCS (default 1_000_000), BENCH_NQ (256), BENCH_K (10),
-BENCH_ITERS (10), BENCH_KIND (bm25).
+BENCH_ITERS (20), BENCH_KIND (bm25), BENCH_PALLAS (0/1: use the Pallas
+DMA packing kernel instead of XLA gathers).
 """
 from __future__ import annotations
 
@@ -30,40 +37,20 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def make_synth_csr(n_docs: int, vocab: int, avg_terms: int, seed: int = 0):
-    """Synthetic CSR term-document matrix with Zipf document frequencies."""
-    rng = np.random.default_rng(seed)
+def zipf_df(n_docs: int, vocab: int, avg_terms: int):
     ranks = np.arange(1, vocab + 1, dtype=np.float64)
     probs = (1.0 / ranks) / np.sum(1.0 / ranks)
-    nnz_target = n_docs * avg_terms
-    df = np.maximum(1, (probs * nnz_target).astype(np.int64))
-    df = np.minimum(df, n_docs)
-    nnz = int(df.sum())
-    indptr = np.zeros(vocab + 1, np.int64)
-    np.cumsum(df, out=indptr[1:])
-    log(f"synth index: {n_docs} docs, {vocab} terms, nnz={nnz/1e6:.1f}M")
-    # postings: sorted doc ids per term without replacement is expensive;
-    # sample with replacement then dedupe-free approximation: random sorted
-    # draws (duplicates possible but rare for df << n_docs; fine for perf).
-    post_doc = np.empty(nnz, np.int32)
-    post_val = rng.random(nnz, dtype=np.float32) * 0.9 + 0.05
-    step = 8_000_000
-    for t0 in range(0, nnz, step):
-        t1 = min(t0 + step, nnz)
-        post_doc[t0:t1] = rng.integers(0, n_docs, t1 - t0, dtype=np.int32)
-    # sort within each row by doc id (vectorized: global sort of row-keyed)
-    row_of = np.repeat(np.arange(vocab, dtype=np.int64), df)
-    order = np.lexsort((post_doc, row_of))
-    post_doc = post_doc[order]
-    return indptr.astype(np.int32), post_doc, post_val, df
+    df = np.maximum(1, (probs * n_docs * avg_terms).astype(np.int64))
+    return np.minimum(df, n_docs)
 
 
 def main():
     n_docs = int(os.environ.get("BENCH_DOCS", 1_000_000))
     nq = int(os.environ.get("BENCH_NQ", 256))
     k = int(os.environ.get("BENCH_K", 10))
-    iters = int(os.environ.get("BENCH_ITERS", 10))
+    iters = int(os.environ.get("BENCH_ITERS", 20))
     kind = os.environ.get("BENCH_KIND", "bm25")
+    use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
     vocab = max(50_000, n_docs // 5)
     avg_terms = 60
 
@@ -72,42 +59,79 @@ def main():
     import jax.numpy as jnp
 
     from document_search_engine_tpu.config import IndexConfig, ScoringConfig
-    from document_search_engine_tpu.index.csr import round_up
-    from document_search_engine_tpu.ops.packed import search_packed, total_cap
+    from document_search_engine_tpu.ops.pack_pallas import (
+        BLOCK,
+        block_plan,
+    )
+    from document_search_engine_tpu.ops.packed import (
+        search_packed,
+        search_packed_rec,
+        total_cap,
+    )
     from document_search_engine_tpu.oracle import spec
 
     log(f"platform: {jax.devices()[0].platform} x{len(jax.devices())}")
     cfg = IndexConfig(scoring=ScoringConfig(kind=kind))
 
-    indptr, post_doc, post_val, df = make_synth_csr(
-        n_docs, vocab, avg_terms, seed=1
-    )
-    d_pad = round_up(n_docs + 1, 128)
-    dev = {
-        "indptr": jnp.asarray(indptr),
-        "post_doc": jnp.asarray(post_doc),
-        "post_val": jnp.asarray(post_val),
-        "alive": jnp.asarray(
-            np.concatenate(
-                [np.ones(n_docs, bool), np.zeros(d_pad - n_docs, bool)]
-            )
-        ),
-    }
-    gid_cols = jnp.asarray(np.arange(d_pad, dtype=np.int32))
+    df = zipf_df(n_docs, vocab, avg_terms)
+    nnz = int(df.sum())
+    indptr64 = np.zeros(vocab + 1, np.int64)
+    np.cumsum(df, out=indptr64[1:])
+    indptr = indptr64.astype(np.int32)
+    nnz_pad = ((nnz + BLOCK - 1) // BLOCK + 1) * BLOCK
+    log(f"synth index: {n_docs} docs, {vocab} terms, nnz={nnz/1e6:.1f}M (device-side gen)")
 
-    # queries: S slots over mid-frequency terms (df in [64, 32768]) — the
-    # realistic regime; engines drop stopword-frequency terms.
+    @jax.jit
+    def gen_index(indptr_d, lens_d, key):
+        # row of each posting + offset within the row, all on device
+        row_of = jnp.searchsorted(
+            indptr_d[1:], jnp.arange(nnz_pad, dtype=jnp.int32), side="right"
+        ).astype(jnp.int32)
+        row_of = jnp.minimum(row_of, vocab - 1)
+        pos = jnp.arange(nnz_pad, dtype=jnp.int32) - indptr_d[row_of]
+        u = jax.random.uniform(key, (nnz_pad,), jnp.float32)
+        ln = jnp.maximum(lens_d[row_of], 1).astype(jnp.float32)
+        # sorted-by-construction doc ids: (pos + u)/len * n_docs
+        doc = ((pos.astype(jnp.float32) + u) / ln * n_docs).astype(jnp.int32)
+        doc = jnp.clip(doc, 0, n_docs - 1)
+        val = jax.random.uniform(key, (nnz_pad,), jnp.float32) * 0.9 + 0.05
+        pad = jnp.arange(nnz_pad) >= nnz
+        doc = jnp.where(pad, n_docs, doc)
+        val = jnp.where(pad, 0.0, val)
+        return doc, val
+
+    t0 = time.perf_counter()
+    indptr_d = jnp.asarray(indptr)
+    lens_d = jnp.asarray(df.astype(np.int32))
+    post_doc, post_val = gen_index(
+        indptr_d, lens_d, jax.random.PRNGKey(1)
+    )
+    if use_pallas:
+        @jax.jit
+        def to_rec(d, v):
+            return jnp.stack(
+                [d, jax.lax.bitcast_convert_type(v, jnp.int32)], axis=1
+            )
+        post_rec = to_rec(post_doc, post_val)
+        _ = np.asarray(post_rec[0, :1])
+    else:
+        _ = np.asarray(post_doc[:1])
+    log(f"index gen (device): {time.perf_counter()-t0:.1f}s")
+
+    # queries over mid-frequency terms (engines drop stopword-level terms)
     s_slots = 8
-    cap_limit = 32768
     rng = np.random.default_rng(7)
-    eligible = np.where((df >= 64) & (df <= cap_limit))[0]
+    eligible = np.where((df >= 64) & (df <= 32768))[0]
     rows = rng.choice(eligible, size=(nq, s_slots)).astype(np.int32)
     coeff = (rng.random((nq, s_slots)).astype(np.float32) * 2.0 + 0.1)
-    c_total = total_cap(indptr, rows, np.ones_like(rows, bool))
+    found = np.ones_like(rows, bool)
+    c_total = total_cap(indptr, rows, found)
+    n_blocks = block_plan(indptr, rows, found)
     log(
         f"queries: nq={nq} slots={s_slots} packed_budget={c_total} "
-        f"(avg postings/query "
-        f"{int((indptr[rows+1]-indptr[rows]).sum(1).mean())})"
+        f"pallas_blocks={n_blocks} "
+        f"(avg postings/query {int((indptr64[rows+1]-indptr64[rows]).sum(1).mean())}) "
+        f"path={'pallas' if use_pallas else 'xla-gather'}"
     )
 
     scale = jnp.float32(2.0**cfg.scoring.scale_bits)
@@ -115,33 +139,31 @@ def main():
     rows_d = jnp.asarray(rows)
     coeff_d = jnp.asarray(coeff)
 
-    # index arrays must be jit *arguments*, not closure constants — the
-    # axon remote-compile path ships the HLO (including constants) over
-    # HTTP and a closed-over index blows its body-size limit.
-    def step(ip, pd, pv, rows_d, coeff_d):
-        return search_packed(
-            ip, pd, pv, rows_d, coeff_d, scale, clip, jnp.int32(0),
-            c_total=c_total, k=k, n_docs=n_docs,
+    if use_pallas:
+        def step(rows_d, coeff_d):
+            return search_packed_rec(
+                post_rec, indptr_d, rows_d, coeff_d, scale, clip,
+                jnp.int32(0), n_blocks=n_blocks, k=k, n_docs=n_docs,
+            )
+    else:
+        step_full = jax.jit(
+            lambda ip, pd, pv, r, a: search_packed(
+                ip, pd, pv, r, a, scale, clip, jnp.int32(0),
+                c_total=c_total, k=k, n_docs=n_docs,
+            )
         )
+        def step(rows_d, coeff_d):
+            return step_full(indptr_d, post_doc, post_val, rows_d, coeff_d)
 
-    step_full = jax.jit(step)
-
-    def step_j(rows_d, coeff_d):
-        return step_full(
-            dev["indptr"], dev["post_doc"], dev["post_val"], rows_d, coeff_d,
-        )
-    # NB: block_until_ready does not reliably sync on the axon platform —
-    # force completion with a device-to-host read (which a serving loop
-    # performs anyway to return ids).
     t0 = time.perf_counter()
-    out = step_j(rows_d, coeff_d)
-    _ = np.asarray(out[1])
+    out = step(rows_d, coeff_d)
+    _ = np.asarray(out[1][:1])
     log(f"compile+first step: {time.perf_counter()-t0:.1f}s")
-    _ = np.asarray(step_j(rows_d, coeff_d)[1])
+    _ = np.asarray(step(rows_d, coeff_d)[1][:1])
 
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = step_j(rows_d, coeff_d)
+    for _i in range(iters):
+        out = step(rows_d, coeff_d)
         ids = np.asarray(out[1])  # D2H each batch, as serving would
     dt = time.perf_counter() - t0
     qps = nq * iters / dt

@@ -1,0 +1,163 @@
+"""ctypes bindings for the native analyzer (native/analyzer.cpp).
+
+The batch tokenize+hash loop is the host hot path of index build (the
+tracked "index build docs/sec" metric, BASELINE.json:2). The C path
+handles ASCII documents — byte-for-byte the same contract as the Python
+tokenizer+hasher for the default AnalyzerConfig — and the wrapper routes
+non-ASCII docs through the Python reference path, so the combined result
+is bit-identical (tests/test_native_analyzer.py). Falls back silently to
+pure Python when the shared library hasn't been built
+(`make -C native`).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+from ..config import AnalyzerConfig
+
+_LIB = None
+_TRIED = False
+
+
+def _lib():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    so = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))),
+        "native",
+        "libdse_native.so",
+    )
+    try:
+        lib = ctypes.CDLL(so)
+    except OSError:
+        return None
+    lib.dse_count_tokens.restype = ctypes.c_int64
+    lib.dse_count_tokens.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.dse_hash_tokens.restype = None
+    lib.dse_hash_tokens.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint64),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.dse_analyze_docs.restype = ctypes.c_int64
+    lib.dse_analyze_docs.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint64),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    _LIB = lib
+    return lib
+
+
+def available() -> bool:
+    return _lib() is not None
+
+
+def config_supported(config: AnalyzerConfig) -> bool:
+    return (
+        config.lowercase
+        and config.token_pattern == r"[0-9a-z]+"
+        and not config.stopwords
+    )
+
+
+def hash_batch_ascii(texts, config: AnalyzerConfig):
+    """(hashes uint64, doc_idx int32, dl int64) for ASCII-only texts,
+    token-order preserved within each doc."""
+    lib = _lib()
+    n = len(texts)
+    buf = ("\x00".join(texts)).encode("ascii")  # \x00 is a separator
+    # doc i scans [offs[i], offs[i+1]); the trailing separator inside the
+    # range is a non-token byte and just terminates the last run.
+    offs = np.zeros(n + 1, np.int64)
+    acc = 0
+    for i, t in enumerate(texts):
+        offs[i] = acc
+        acc += len(t) + 1
+    offs[n] = len(buf)
+    dl = np.zeros(n, np.int64)
+    c_offs = offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    total = lib.dse_count_tokens(
+        buf,
+        c_offs,
+        n,
+        config.min_token_len,
+        config.max_token_len,
+        dl.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    hashes = np.zeros(int(total), np.uint64)
+    doc_idx = np.zeros(int(total), np.int32)
+    lib.dse_hash_tokens(
+        buf,
+        c_offs,
+        n,
+        config.min_token_len,
+        config.max_token_len,
+        hashes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        doc_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return hashes, doc_idx, dl
+
+
+def _buf_offs(texts):
+    n = len(texts)
+    buf = ("\x00".join(texts)).encode("ascii")
+    offs = np.zeros(n + 1, np.int64)
+    acc = 0
+    for i, t in enumerate(texts):
+        offs[i] = acc
+        acc += len(t) + 1
+    offs[n] = len(buf)
+    return buf, offs
+
+
+def analyze_batch_ascii(texts, config: AnalyzerConfig):
+    """Fully-native per-doc analysis for ASCII texts: returns
+    (hashes uint64, tfs int32, doc_ptr int64, dl int64) in the
+    AnalyzedDocs layout (per-doc hash-ascending unique runs)."""
+    lib = _lib()
+    n = len(texts)
+    buf, offs = _buf_offs(texts)
+    c_offs = offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    dl_tmp = np.zeros(n, np.int64)
+    total = lib.dse_count_tokens(
+        buf, c_offs, n, config.min_token_len, config.max_token_len,
+        dl_tmp.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    hashes = np.zeros(int(total), np.uint64)
+    tfs = np.zeros(int(total), np.int32)
+    n_terms = np.zeros(n, np.int64)
+    dl = np.zeros(n, np.int64)
+    w = lib.dse_analyze_docs(
+        buf, c_offs, n, config.min_token_len, config.max_token_len,
+        hashes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        tfs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n_terms.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        dl.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    doc_ptr = np.zeros(n + 1, np.int64)
+    np.cumsum(n_terms, out=doc_ptr[1:])
+    return hashes[: int(w)], tfs[: int(w)], doc_ptr, dl

@@ -25,12 +25,9 @@ class Tokenizer:
             text = text.lower()
         toks = self._pattern.findall(text)
         lo, hi = cfg.min_token_len, cfg.max_token_len
-        if lo > 1 or hi < 64 or self._stop:
-            toks = [
-                t
-                for t in toks
-                if lo <= len(t) <= hi and t not in self._stop
-            ]
+        toks = [
+            t for t in toks if lo <= len(t) <= hi and t not in self._stop
+        ]
         return toks
 
 

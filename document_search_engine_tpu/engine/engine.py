@@ -71,7 +71,7 @@ class SearchEngine:
         texts = list(texts)
         if not texts:
             return []
-        analyzed = builder.analyze_texts(texts, self.config)
+        analyzed = builder.analyze_texts_fast(texts, self.config)
         doc_base = self.n_docs_total
         host, device = builder.build_segment(
             analyzed, self.config, doc_base=doc_base
@@ -80,6 +80,25 @@ class SearchEngine:
         self.n_docs_total += host.n_docs
         self._refresh_stats_and_vals()
         return list(range(doc_base, self.n_docs_total))
+
+    def build_streaming(self, batches) -> None:
+        """Streaming build (BASELINE.json:10): consume an iterable of doc
+        batches, one segment per batch, deferring the global df merge and
+        val materialization to a single refresh at the end (add_docs per
+        batch would refresh after every batch — O(batches^2) work)."""
+        self.segments = []
+        self.n_docs_total = 0
+        for batch in batches:
+            batch = list(batch)
+            if not batch:
+                continue
+            analyzed = builder.analyze_texts_fast(batch, self.config)
+            host, device = builder.build_segment(
+                analyzed, self.config, doc_base=self.n_docs_total
+            )
+            self.segments.append([host, device])
+            self.n_docs_total += host.n_docs
+        self._refresh_stats_and_vals()
 
     def _refresh_stats_and_vals(self) -> None:
         """Re-merge global stats; re-materialize df/avgdl-dependent device

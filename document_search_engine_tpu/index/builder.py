@@ -64,6 +64,67 @@ def analyze_texts(texts, config: IndexConfig) -> AnalyzedDocs:
     )
 
 
+def analyze_texts_fast(texts, config: IndexConfig) -> AnalyzedDocs:
+    """analyze_texts with the native C analyzer on the hot path.
+
+    ASCII docs run through native/analyzer.cpp (bit-identical contract for
+    the default AnalyzerConfig); non-ASCII docs fall back to the Python
+    tokenizer per doc (unicode lowering like 'K'->'k' must match exactly).
+    Per-doc (hash, tf) assembly is one vectorized lexsort instead of a
+    Python loop. Output equals analyze_texts exactly (tested)."""
+    from ..analyze import native
+
+    texts = list(texts)
+    if not native.available() or not native.config_supported(config.analyzer):
+        return analyze_texts(texts, config)
+    n = len(texts)
+    ascii_all = all(t.isascii() for t in texts)
+    if ascii_all:
+        hashes, tfs, doc_ptr, dl = native.analyze_batch_ascii(
+            texts, config.analyzer
+        )
+        return AnalyzedDocs(
+            hashes=hashes, tfs=tfs, doc_ptr=doc_ptr, dl=dl.astype(np.int32)
+        )
+    # mixed: native for the ASCII docs, Python reference for the rest
+    # (unicode lowering like 'K'->'k' must match str.lower() exactly),
+    # reassembled in original doc order.
+    ascii_ids = [i for i, t in enumerate(texts) if t.isascii()]
+    h_a, tf_a, ptr_a, dl_a = native.analyze_batch_ascii(
+        [texts[i] for i in ascii_ids], config.analyzer
+    )
+    pos_of = {g: i for i, g in enumerate(ascii_ids)}
+    tokenizer = Tokenizer(config.analyzer)
+    hasher = TermHasher()
+    parts_h, parts_tf, ptr, dls = [], [], [0], []
+    for g in range(n):
+        if g in pos_of:
+            i = pos_of[g]
+            s, e = ptr_a[i], ptr_a[i + 1]
+            parts_h.append(h_a[s:e])
+            parts_tf.append(tf_a[s:e])
+            ptr.append(ptr[-1] + (e - s))
+            dls.append(int(dl_a[i]))
+        else:
+            toks = tokenizer(texts[g])
+            hh = hasher.hash_tokens(toks)
+            uh, tf = np.unique(hh, return_counts=True)
+            parts_h.append(uh)
+            parts_tf.append(tf.astype(np.int32))
+            ptr.append(ptr[-1] + len(uh))
+            dls.append(len(toks))
+    return AnalyzedDocs(
+        hashes=(
+            np.concatenate(parts_h) if parts_h else np.zeros(0, np.uint64)
+        ),
+        tfs=(
+            np.concatenate(parts_tf) if parts_tf else np.zeros(0, np.int32)
+        ),
+        doc_ptr=np.array(ptr, dtype=np.int64),
+        dl=np.array(dls, dtype=np.int32),
+    )
+
+
 def segment_vocab(analyzed: AnalyzedDocs):
     """(vocab uint64 sorted, rows int32 per posting, df int32 per term)."""
     vocab, rows = np.unique(analyzed.hashes, return_inverse=True)

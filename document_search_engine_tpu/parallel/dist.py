@@ -63,7 +63,7 @@ def build_sharded(
         chunks.append(texts[lo:hi])
         bases.append(lo)
 
-    analyzed = [builder.analyze_texts(c, config) for c in chunks]
+    analyzed = [builder.analyze_texts_fast(c, config) for c in chunks]
     hosts, packed = [], []
     for a, base in zip(analyzed, bases):
         vocab, rows, df = builder.segment_vocab(a)

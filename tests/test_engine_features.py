@@ -96,3 +96,40 @@ def test_cli_end_to_end(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "one.txt" in out or "three.txt" in out
     assert "two.txt" not in out
+
+
+def test_build_streaming_equals_bulk():
+    from document_search_engine_tpu.corpus.loader import stream_batches
+    from document_search_engine_tpu.oracle import OracleEngine
+
+    docs = synth_corpus(n_docs=70, vocab_size=300, mean_len=25, seed=8)
+    queries = synth_queries(docs, n_queries=5, seed=9)
+    for kind in ("tfidf", "bm25"):
+        cfg = IndexConfig(scoring=ScoringConfig(kind=kind))
+        bulk = SearchEngine(cfg)
+        bulk.build(docs)
+        stream = SearchEngine(cfg)
+        stream.build_streaming(stream_batches(docs, batch_size=16))
+        b_ids, b_scores = bulk.search(queries, k=10)
+        s_ids, s_scores = stream.search(queries, k=10)
+        np.testing.assert_array_equal(s_ids, b_ids)
+        np.testing.assert_array_equal(s_scores, b_scores)
+        ora = OracleEngine(cfg)
+        ora.build(docs)
+        o_ids, o_scores = ora.search(queries, k=10)
+        np.testing.assert_array_equal(s_ids, o_ids)
+
+
+def test_prof_utils():
+    from document_search_engine_tpu.utils import prof
+
+    prof.reset()
+    with prof.phase("build"):
+        pass
+    with prof.phase("search"):
+        pass
+    import json as _json
+
+    rec = _json.loads(prof.metrics_json(extra_field=1))
+    assert set(rec["phases_s"]) == {"build", "search"}
+    assert rec["extra_field"] == 1
