@@ -50,7 +50,8 @@ def main():
     k = int(os.environ.get("BENCH_K", 10))
     iters = int(os.environ.get("BENCH_ITERS", 20))
     kind = os.environ.get("BENCH_KIND", "bm25")
-    use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
+    path = os.environ.get("BENCH_PATH", "ds")  # ds | gather | pallas
+    use_pallas = path == "pallas" or os.environ.get("BENCH_PALLAS") == "1"
     vocab = max(50_000, n_docs // 5)
     avg_terms = 60
 
@@ -65,6 +66,7 @@ def main():
     )
     from document_search_engine_tpu.ops.packed import (
         search_packed,
+        search_packed_ds,
         search_packed_rec,
         total_cap,
     )
@@ -126,12 +128,17 @@ def main():
     coeff = (rng.random((nq, s_slots)).astype(np.float32) * 2.0 + 0.1)
     found = np.ones_like(rows, bool)
     c_total = total_cap(indptr, rows, found)
-    n_blocks = block_plan(indptr, rows, found)
+    ds_block = int(os.environ.get("BENCH_DS_BLOCK", 512))
+    n_blocks = (
+        block_plan(indptr, rows, found, block=ds_block)
+        if path == "ds"
+        else block_plan(indptr, rows, found)
+    )
     log(
         f"queries: nq={nq} slots={s_slots} packed_budget={c_total} "
         f"pallas_blocks={n_blocks} "
         f"(avg postings/query {int((indptr64[rows+1]-indptr64[rows]).sum(1).mean())}) "
-        f"path={'pallas' if use_pallas else 'xla-gather'}"
+        f"path={path}"
     )
 
     scale = jnp.float32(2.0**cfg.scoring.scale_bits)
@@ -144,6 +151,40 @@ def main():
             return search_packed_rec(
                 post_rec, indptr_d, rows_d, coeff_d, scale, clip,
                 jnp.int32(0), n_blocks=n_blocks, k=k, n_docs=n_docs,
+            )
+    elif path == "ds":
+        from document_search_engine_tpu.ops.schedule import (
+            blocks_per_query,
+            bucket_queries,
+        )
+
+        nblk_q = blocks_per_query(indptr, rows, found, ds_block)
+        buckets = []
+        for idx, nb in bucket_queries(nblk_q):
+            bq = 1 << int(np.ceil(np.log2(max(len(idx), 1))))
+            r_sub = np.zeros((bq, s_slots), np.int32)
+            a_sub = np.zeros((bq, s_slots), np.float32)
+            r_sub[: len(idx)] = rows[idx]
+            a_sub[: len(idx)] = coeff[idx]
+            buckets.append(
+                (jnp.asarray(r_sub), jnp.asarray(a_sub), nb, len(idx))
+            )
+        log(
+            "buckets: "
+            + ", ".join(f"{n}q@{nb}blk" for _, _, nb, n in buckets)
+        )
+
+        def _run(r, a, nb):
+            return search_packed_ds(
+                post_doc, post_val, indptr_d, r, a, scale, clip,
+                jnp.int32(0), n_blocks=nb, k=k, n_docs=n_docs,
+                block=ds_block,
+            )
+
+        def step(rows_d, coeff_d):
+            outs = [_run(r, a, nb) for r, a, nb, _n in buckets]
+            return outs[0][0], jnp.concatenate(
+                [o[1][:1] for o in outs], axis=0
             )
     else:
         step_full = jax.jit(

@@ -12,8 +12,8 @@ import numpy as np
 from ..config import IndexConfig
 from ..index import builder
 from ..index.csr import GlobalStats, SegmentDevice, SegmentHost, merge_stats
-from ..ops.packed import search_packed, total_cap
-from ..ops.topk import merge_candidates
+from ..ops.packed import search_packed_ds
+from ..ops.schedule import blocks_per_query, bucket_queries
 from ..oracle import spec
 from .query import QueryFrontend, segment_rows
 
@@ -197,48 +197,54 @@ class SearchEngine:
             )
         slot_h, coeff = self.frontend.analyze(queries, self.stats)
         slot_h, coeff = slice_active_slots(slot_h, coeff)
-        nq_pad = _pow2_at_least(nq)
-        if nq_pad > nq:
-            slot_h = np.vstack(
-                [slot_h, np.zeros((nq_pad - nq, slot_h.shape[1]), np.uint64)]
-            )
-            coeff = np.vstack(
-                [coeff, np.zeros((nq_pad - nq, coeff.shape[1]), F32)]
-            )
         sc = self.config.scoring
         scale = F32(2.0**sc.scale_bits)
         clip = F32(int(spec.quant_clip_max(self.config.max_query_terms)))
+        s = coeff.shape[1]
+        block = 512
 
         all_vals, all_gids = [], []
         for host, device in self.segments:
             rows, found = segment_rows(host.term_hash, slot_h)
             a_seg = np.where(found, coeff, F32(0.0)).astype(F32)
-            c = total_cap(host.indptr, rows, found)
-            vals, gids = search_packed(
-                device.indptr,
-                device.post_doc,
-                device.post_val,
-                rows,
-                a_seg,
-                scale,
-                clip,
-                np.int32(host.doc_base),
-                c_total=c,
-                k=k,
-                n_docs=host.n_docs,
-            )
-            all_vals.append(vals)
-            all_gids.append(gids)
+            nblk = blocks_per_query(host.indptr, rows, found, block)
+            seg_v = np.full((nq, k), -1, np.int32)
+            seg_g = np.full((nq, k), -1, np.int32)
+            # pow-2 block-budget buckets: each runs at its own static
+            # shape so the max query doesn't set everyone's cost
+            for idx, n_blocks in bucket_queries(nblk):
+                bq = _pow2_at_least(len(idx))
+                r_sub = np.zeros((bq, s), np.int32)
+                a_sub = np.zeros((bq, s), F32)
+                r_sub[: len(idx)] = rows[idx]
+                a_sub[: len(idx)] = a_seg[idx]
+                v, g = search_packed_ds(
+                    device.post_doc,
+                    device.post_val,
+                    device.indptr,
+                    r_sub,
+                    a_sub,
+                    scale,
+                    clip,
+                    np.int32(host.doc_base),
+                    n_blocks=n_blocks,
+                    k=k,
+                    n_docs=host.n_docs,
+                    block=block,
+                )
+                seg_v[idx] = np.asarray(v)[: len(idx)]
+                seg_g[idx] = np.asarray(g)[: len(idx)]
+            all_vals.append(seg_v)
+            all_gids.append(seg_g)
         if len(all_vals) == 1:
             v, g = all_vals[0], all_gids[0]
         else:
-            import jax.numpy as jnp
-
-            v, g = merge_candidates(
-                jnp.concatenate(all_vals, axis=1),
-                jnp.concatenate(all_gids, axis=1),
-                k=k,
-            )
-        v = np.asarray(v)[:nq].astype(np.int64)
-        g = np.asarray(g)[:nq].astype(np.int64)
-        return g, v
+            vc = np.concatenate(all_vals, axis=1)
+            gc = np.concatenate(all_gids, axis=1)
+            # (score desc, gid asc); dead (-1,-1) rows sink
+            order = np.lexsort((gc, -vc.astype(np.int64)), axis=-1)[:, :k]
+            v = np.take_along_axis(vc, order, axis=1)
+            g = np.take_along_axis(gc, order, axis=1)
+            g = np.where(v > 0, g, -1)
+            v = np.where(v > 0, v, -1)
+        return g[:nq].astype(np.int64), v[:nq].astype(np.int64)

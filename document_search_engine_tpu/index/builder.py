@@ -316,7 +316,10 @@ def pack_device_segment(
     n_docs = host.n_docs
     d_pad = round_up(n_docs + 1, config.docs_pad_to)
     nnz = len(post_doc)
-    nnz_pad = max(round_up(nnz, config.nnz_pad_to), config.nnz_pad_to)
+    # +2048 margin: the dynamic-slice packing path (ops/packed.py
+    # search_packed_ds) reads whole blocks past a row's end; the margin
+    # guarantees tail blocks stay inside the array without clamping.
+    nnz_pad = max(round_up(nnz + 2048, config.nnz_pad_to), config.nnz_pad_to)
 
     kind = config.scoring.kind
     if kind == "tfidf":

@@ -43,7 +43,8 @@ def interleave_postings(post_doc, post_val) -> jnp.ndarray:
 
 def block_plan(indptr: np.ndarray, rows: np.ndarray, found: np.ndarray,
                block: int = BLOCK):
-    """Static n_blocks for a batch: max per-query sum of ceil(len/B)."""
+    """Static n_blocks for a batch: max per-query sum of ceil(len/B),
+    pow-2 bucketed."""
     if len(indptr) < 2 or rows.size == 0:
         return 1
     lens = (indptr[rows + 1] - indptr[rows]) * found

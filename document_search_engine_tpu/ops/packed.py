@@ -128,6 +128,71 @@ def rank_candidates(d_key, ci, doc_base, s: int, k: int, n_docs: int):
     return vals, gids
 
 
+@partial(jax.jit, static_argnames=("n_blocks", "k", "n_docs", "block"))
+def search_packed_ds(
+    post_doc: jnp.ndarray,  # (nnz_pad,) int32
+    post_val: jnp.ndarray,  # (nnz_pad,) f32 — 0 for tombstoned docs
+    indptr: jnp.ndarray,  # (T+1,) int32
+    rows: jnp.ndarray,  # (nq, S) int32
+    coeff: jnp.ndarray,  # (nq, S) f32
+    scale: jnp.ndarray,
+    clip: jnp.ndarray,
+    doc_base: jnp.ndarray,
+    n_blocks: int,
+    k: int,
+    n_docs: int,
+    block: int = 512,
+):
+    """search_packed with the packing stage as vmapped `dynamic_slice`
+    block copies — measured 20x faster than gather on this TPU (XLA lowers
+    contiguous-block slicing to streaming copies; element gathers run at
+    ~0.4 GB/s). Destination regions are block-aligned per slot; requires
+    nnz_pad >= nnz + block so tail blocks stay in bounds.
+    Bit-identical to search_packed (tested)."""
+    from .pack_pallas import _src_table
+
+    nq, s = rows.shape
+    starts = indptr[rows]
+    lens = indptr[rows + 1] - starts
+    lens = jnp.where(coeff > 0, lens, 0)
+    src, blk_cum = _src_table(
+        starts, lens, n_blocks, block, int(post_doc.shape[0])
+    )
+    src_c = jnp.maximum(src, 0)
+
+    slice_d = jax.vmap(
+        jax.vmap(lambda s0: jax.lax.dynamic_slice(post_doc, (s0,), (block,)))
+    )
+    slice_v = jax.vmap(
+        jax.vmap(lambda s0: jax.lax.dynamic_slice(post_val, (s0,), (block,)))
+    )
+    d = slice_d(src_c).reshape(nq, n_blocks * block)
+    v = slice_v(src_c).reshape(nq, n_blocks * block)
+
+    # per-block slot attribution (block-aligned regions)
+    blk = jnp.arange(n_blocks, dtype=jnp.int32)[None, :]
+    a_b = jnp.zeros((nq, n_blocks), jnp.float32)
+    rem_b = jnp.zeros((nq, n_blocks), jnp.int32)
+    for t in range(s):
+        in_t = (blk >= blk_cum[:, t : t + 1]) & (
+            blk < blk_cum[:, t + 1 : t + 2]
+        )
+        off_t = (blk - blk_cum[:, t : t + 1]) * block
+        a_b = a_b + jnp.where(in_t, coeff[:, t : t + 1], 0.0)
+        rem_b = rem_b + jnp.where(in_t, lens[:, t : t + 1] - off_t, 0)
+    lane = jnp.arange(block, dtype=jnp.int32)[None, None, :]
+    valid = (lane < rem_b[:, :, None]).reshape(nq, n_blocks * block)
+    a = jnp.broadcast_to(
+        a_b[:, :, None], (nq, n_blocks, block)
+    ).reshape(nq, n_blocks * block)
+
+    ci_f = jnp.round((a * v) * scale)
+    ci = jnp.clip(ci_f, 0.0, clip).astype(jnp.int32)
+    ci = jnp.where(valid, ci, 0)
+    d_key = jnp.where(valid, d, n_docs)
+    return rank_candidates(d_key, ci, doc_base, s, k, n_docs)
+
+
 @partial(
     jax.jit, static_argnames=("n_blocks", "k", "n_docs", "interpret")
 )

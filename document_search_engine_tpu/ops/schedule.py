@@ -1,0 +1,44 @@
+"""Batch scheduling: bucket queries by packed-block need.
+
+The packed search step's cost is nq * n_blocks, but n_blocks is set by the
+*largest* query in the batch (static shapes under jit). With Zipf term
+statistics the max query routinely needs 4-8x the average, so running one
+kernel at the max budget wastes most of the work. Instead queries are
+grouped into pow-2 n_blocks buckets and each bucket runs at its own
+budget; per-bucket shapes are pow-2 so the jit cache stays small.
+Results are scattered back to original positions — rankings are unchanged
+(scores are order-free integers, and each query is self-contained).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def blocks_per_query(
+    indptr: np.ndarray, rows: np.ndarray, found: np.ndarray, block: int
+) -> np.ndarray:
+    """(nq,) int: sum over slots of ceil(len/block)."""
+    if len(indptr) < 2 or rows.size == 0:
+        return np.zeros(rows.shape[0] if rows.ndim else 0, np.int64)
+    lens = (indptr[rows + 1] - indptr[rows]) * found
+    return (-(-lens // block)).sum(axis=1)
+
+
+def bucket_queries(nblk: np.ndarray, min_blocks: int = 4):
+    """Group query indices by pow-2 block budget.
+
+    Returns [(indices ndarray, n_blocks int)], ascending budgets; every
+    query appears exactly once. Queries needing 0 blocks join the smallest
+    bucket (they produce empty results anyway).
+    """
+    nq = len(nblk)
+    if nq == 0:
+        return []
+    budget = np.maximum(nblk, 1)
+    exp = np.ceil(np.log2(budget)).astype(np.int64)
+    exp = np.maximum(exp, int(np.log2(min_blocks)))
+    out = []
+    for e in np.unique(exp):
+        idx = np.nonzero(exp == e)[0]
+        out.append((idx, 1 << int(e)))
+    return out

@@ -23,7 +23,8 @@ from ..config import IndexConfig
 from ..engine.query import QueryFrontend, segment_rows
 from ..index import builder
 from ..index.csr import GlobalStats, merge_stats, round_up
-from ..ops.packed import search_packed, total_cap
+from ..ops.pack_pallas import block_plan
+from ..ops.packed import search_packed_ds
 from ..ops.topk import merge_candidates
 from ..oracle import spec
 from .mesh import DOCS_AXIS, make_mesh
@@ -97,7 +98,7 @@ def build_sharded(
     # fleet-uniform padded shapes
     t_pad = max(h.n_terms for h in hosts)
     nnz_pad = max(
-        round_up(max(len(p[0]) for p in packed), config.nnz_pad_to),
+        round_up(max(len(p[0]) for p in packed) + 2048, config.nnz_pad_to),
         config.nnz_pad_to,
     )
     d_pad = round_up(max(h.n_docs for h in hosts) + 1, config.docs_pad_to)
@@ -168,9 +169,9 @@ def _sharded_search_step(
         r, a = r[0], a[0]
         # d_pad-1 is a safe uniform local sentinel: every shard's real
         # local ids are <= d_pad-2 (d_pad >= max local docs + 1).
-        vals, gids = search_packed(
-            ip, pd, pv, r, a, scale, clip, base[0, 0],
-            c_total=cap, k=k, n_docs=d_pad - 1,
+        vals, gids = search_packed_ds(
+            pd, pv, ip, r, a, scale, clip, base[0, 0],
+            n_blocks=cap, k=k, n_docs=d_pad - 1, block=512,
         )
         # ICI boundary: gather every shard's candidates, merge everywhere.
         vals_g = jax.lax.all_gather(vals, DOCS_AXIS)  # (S, nq, k)
@@ -232,12 +233,12 @@ class DistributedSearchEngine:
         s = slot_h.shape[1]
         rows = np.zeros((n_shards, nq_pad, s), np.int32)
         coeffs = np.zeros((n_shards, nq_pad, s), F32)
-        cap = 16
+        cap = 1
         for i, h in enumerate(idx.hosts):
             r, found = segment_rows(h.term_hash, slot_h)
             rows[i] = r
             coeffs[i] = np.where(found, coeff, F32(0.0))
-            cap = max(cap, total_cap(h.indptr, r, found))
+            cap = max(cap, block_plan(h.indptr, r, found, block=512))
         sc = self.config.scoring
         scale = jnp.float32(2.0**sc.scale_bits)
         clip = jnp.float32(int(spec.quant_clip_max(self.config.max_query_terms)))

@@ -146,3 +146,49 @@ def test_packed_rec_matches_packed():
     )
     np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
     np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(ref[1]))
+
+
+def test_packed_ds_matches_packed():
+    """dynamic-slice packing variant must equal the gather path exactly."""
+    from document_search_engine_tpu.ops.pack_pallas import block_plan
+    from document_search_engine_tpu.ops.packed import search_packed_ds
+
+    rng = np.random.default_rng(21)
+    n_terms, n_docs = 25, 3000
+    lens = rng.integers(1, 4000, n_terms)
+    indptr64 = np.zeros(n_terms + 1, np.int64)
+    np.cumsum(lens, out=indptr64[1:])
+    nnz = int(indptr64[-1])
+    parts = [
+        np.sort(rng.integers(0, n_docs, l).astype(np.int32)) for l in lens
+    ]
+    post_doc = np.concatenate(parts)
+    post_val = (rng.random(nnz, dtype=np.float32) * 0.9 + 0.05)
+    indptr = indptr64.astype(np.int32)
+    for blocksize in (512, 2048):
+        nnz_pad = nnz + blocksize
+        pd = np.concatenate(
+            [post_doc, np.full(nnz_pad - nnz, n_docs, np.int32)]
+        )
+        pv = np.concatenate([post_val, np.zeros(nnz_pad - nnz, np.float32)])
+        nq, s = 5, 3
+        rows = rng.integers(0, n_terms, (nq, s)).astype(np.int32)
+        coeff = (rng.random((nq, s)).astype(np.float32) * 1.5)
+        coeff[1, 1] = 0.0
+        scale, clip = jnp.float32(2.0**16), jnp.float32(65075262)
+        found = coeff > 0
+        c = total_cap(indptr, rows, found)
+        ref = search_packed(
+            jnp.asarray(indptr), jnp.asarray(pd), jnp.asarray(pv),
+            jnp.asarray(rows), jnp.asarray(coeff), scale, clip,
+            jnp.int32(100), c_total=c, k=15, n_docs=n_docs,
+        )
+        nb = block_plan(indptr, rows, found, block=blocksize)
+        got = search_packed_ds(
+            jnp.asarray(pd), jnp.asarray(pv), jnp.asarray(indptr),
+            jnp.asarray(rows), jnp.asarray(coeff), scale, clip,
+            jnp.int32(100), n_blocks=nb, k=15, n_docs=n_docs,
+            block=blocksize,
+        )
+        np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
+        np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(ref[1]))
