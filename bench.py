@@ -174,17 +174,29 @@ def main():
             + ", ".join(f"{n}q@{nb}blk" for _, _, nb, n in buckets)
         )
 
-        def _run(r, a, nb):
-            return search_packed_ds(
-                post_doc, post_val, indptr_d, r, a, scale, clip,
-                jnp.int32(0), n_blocks=nb, k=k, n_docs=n_docs,
-                block=ds_block,
+        nbs = [b[2] for b in buckets]
+
+        @jax.jit
+        def fused(pd, pv, ip, rs, cs):
+            # all buckets inside one XLA program: one dispatch per batch
+            outs = [
+                search_packed_ds(
+                    pd, pv, ip, r, a, scale, clip, jnp.int32(0),
+                    n_blocks=nb, k=k, n_docs=n_docs, block=ds_block,
+                )
+                for (r, a), nb in zip(zip(rs, cs), nbs)
+            ]
+            return (
+                jnp.concatenate([o[0] for o in outs], axis=0),
+                jnp.concatenate([o[1] for o in outs], axis=0),
             )
 
+        bucket_rows = tuple(b[0] for b in buckets)
+        bucket_coeffs = tuple(b[1] for b in buckets)
+
         def step(rows_d, coeff_d):
-            outs = [_run(r, a, nb) for r, a, nb, _n in buckets]
-            return outs[0][0], jnp.concatenate(
-                [o[1][:1] for o in outs], axis=0
+            return fused(
+                post_doc, post_val, indptr_d, bucket_rows, bucket_coeffs
             )
     else:
         step_full = jax.jit(

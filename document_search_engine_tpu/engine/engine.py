@@ -109,6 +109,7 @@ class SearchEngine:
             seg[1] = builder.refresh_segment_vals(
                 host, device, self.config, self.stats
             )
+        self._emb_cache = {}  # embeddings depend on post_val
 
     def delete_docs(self, global_ids) -> None:
         """Tombstone docs and update df/N/total_len exactly from the
@@ -173,6 +174,70 @@ class SearchEngine:
         host.alive[dead] = False
         self.segments = [[host, device]]
         self._refresh_stats_and_vals()
+
+    # ----------------------------------------------------- hybrid rerank
+    def _segment_embeddings(self, dim: int) -> np.ndarray:
+        """(n_docs_total, dim) host feature-hash embeddings, cached until
+        the next stats refresh (ops/rerank.py)."""
+        from ..ops.rerank import doc_embeddings
+
+        cache = getattr(self, "_emb_cache", None)
+        if cache is None:
+            cache = self._emb_cache = {}
+        if dim in cache:
+            return cache[dim]
+        emb = np.zeros((self.n_docs_total, dim), dtype=F32)
+        for host, device in self.segments:
+            e = doc_embeddings(
+                host.term_hash,
+                host.indptr,
+                np.asarray(device.post_doc),
+                np.asarray(device.post_val),
+                host.n_docs,
+                dim,
+            )
+            emb[host.doc_base : host.doc_base + host.n_docs] = e
+        cache[dim] = emb
+        return emb
+
+    def search_rerank(
+        self,
+        queries,
+        k: int = 10,
+        dim: int = 256,
+        candidates: int = 64,
+        interpret: bool | None = None,
+    ):
+        """Hybrid retrieval (BASELINE.json:11): lexical candidate gen,
+        then dense feature-hash rerank on the MXU (Pallas kernel).
+        Returns (ids, rerank_scores_int, lexical_scores_int), ranked
+        (rerank desc, lexical desc, gid asc)."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.rerank import (
+            query_embeddings,
+            rerank_dots_pallas,
+            rerank_order,
+        )
+
+        if interpret is None:
+            interpret = jax.devices()[0].platform != "tpu"
+        kk = max(k, candidates)
+        gids, lex = self.search(queries, k=kk)
+        slot_h, coeff = self.frontend.analyze(queries, self.stats)
+        qemb = query_embeddings(slot_h, coeff, dim)
+        emb = self._segment_embeddings(dim)
+        cand_emb = emb[np.clip(gids, 0, max(self.n_docs_total - 1, 0))]
+        cand_emb = np.where((gids >= 0)[..., None], cand_emb, F32(0.0))
+        dots = np.asarray(
+            rerank_dots_pallas(
+                jnp.asarray(qemb),
+                jnp.asarray(cand_emb.astype(F32)),
+                interpret=interpret,
+            )
+        )
+        return rerank_order(dots, lex, gids, k)
 
     def save(self, path: str) -> None:
         from ..index.checkpoint import save_engine
