@@ -48,57 +48,58 @@ class ShardedIndex:
     cap_hint: int  # max CSR row length across shards
 
 
-def build_sharded(
-    texts, config: IndexConfig, mesh: Mesh
-) -> ShardedIndex:
-    """Build a document-sharded index: contiguous doc ranges per shard,
-    corpus-global df/idf (host merge; `psum` in the SPMD build demo),
-    fleet-uniform padded shapes, one sharded device_put."""
-    texts = list(texts)
-    n_shards = mesh.devices.size
-    n_docs = len(texts)
-    per = -(-n_docs // n_shards) if n_docs else 1
-    chunks, bases = [], []
-    for i in range(n_shards):
-        lo, hi = min(i * per, n_docs), min((i + 1) * per, n_docs)
-        chunks.append(texts[lo:hi])
-        bases.append(lo)
+def _host_from_analyzed(a, base: int):
+    from ..index.csr import SegmentHost
 
-    analyzed = [builder.analyze_texts_fast(c, config) for c in chunks]
-    hosts, packed = [], []
-    for a, base in zip(analyzed, bases):
-        vocab, rows, df = builder.segment_vocab(a)
-        docs = np.repeat(
-            np.arange(a.n_docs, dtype=np.int32),
-            np.diff(a.doc_ptr).astype(np.int64),
-        )
-        r, d, t, indptr = builder.host_pack(
-            rows, docs, a.tfs, len(vocab), a.n_docs
-        )
-        from ..index.csr import SegmentHost
+    vocab, rows, df = builder.segment_vocab(a)
+    docs = np.repeat(
+        np.arange(a.n_docs, dtype=np.int32),
+        np.diff(a.doc_ptr).astype(np.int64),
+    )
+    _r, d, t, indptr = builder.host_pack(
+        rows, docs, a.tfs, len(vocab), a.n_docs
+    )
+    host = SegmentHost(
+        term_hash=vocab,
+        df=df,
+        doc_base=base,
+        n_docs=a.n_docs,
+        dl=a.dl.copy(),
+        alive=np.ones(a.n_docs, dtype=bool),
+        doc_hashes=a.hashes,
+        doc_tfs=a.tfs,
+        doc_ptr=a.doc_ptr,
+        indptr=indptr,
+    )
+    return host, d, t
 
-        hosts.append(
-            SegmentHost(
-                term_hash=vocab,
-                df=df,
-                doc_base=base,
-                n_docs=a.n_docs,
-                dl=a.dl.copy(),
-                alive=np.ones(a.n_docs, dtype=bool),
-                doc_hashes=a.hashes,
-                doc_tfs=a.tfs,
-                doc_ptr=a.doc_ptr,
-                indptr=indptr,
-            )
-        )
-        packed.append((d, t, indptr))
 
+def assemble_sharded(hosts, config: IndexConfig, mesh: Mesh) -> ShardedIndex:
+    """Pack per-shard host metadata into fleet-uniform padded device
+    arrays with corpus-global stats; used by build and incremental
+    updates (the device arrays are fully derivable from SegmentHost)."""
+    n_shards = len(hosts)
     stats = merge_stats(hosts)
+    packed = []
+    for h in hosts:
+        a = builder.AnalyzedDocs(
+            hashes=h.doc_hashes, tfs=h.doc_tfs, doc_ptr=h.doc_ptr, dl=h.dl
+        )
+        vocab, rows, _df = builder.segment_vocab(a)
+        docs = np.repeat(
+            np.arange(h.n_docs, dtype=np.int32),
+            np.diff(h.doc_ptr).astype(np.int64),
+        )
+        _r, d, t, indptr = builder.host_pack(
+            rows, docs, h.doc_tfs, len(vocab), h.n_docs
+        )
+        packed.append((a, d, t, indptr))
 
-    # fleet-uniform padded shapes
     t_pad = max(h.n_terms for h in hosts)
     nnz_pad = max(
-        round_up(max(len(p[0]) for p in packed) + 2048, config.nnz_pad_to),
+        round_up(
+            max(len(p[1]) for p in packed) + 2048, config.nnz_pad_to
+        ),
         config.nnz_pad_to,
     )
     d_pad = round_up(max(h.n_docs for h in hosts) + 1, config.docs_pad_to)
@@ -108,7 +109,7 @@ def build_sharded(
     pv = np.zeros((n_shards, nnz_pad), np.float32)
     al = np.zeros((n_shards, d_pad), bool)
     cap_hint = 1
-    for i, (h, (d, t, indptr), a) in enumerate(zip(hosts, packed, analyzed)):
+    for i, (h, (a, d, t, indptr)) in enumerate(zip(hosts, packed)):
         kind = config.scoring.kind
         if kind == "tfidf":
             inv_norm = builder.doc_inv_norms(a, stats, kind)
@@ -117,6 +118,7 @@ def build_sharded(
         vals = builder.materialize_vals(
             d, t.astype(F32), h.dl.astype(F32), inv_norm, config, stats
         )
+        vals = vals * h.alive[d].astype(F32)  # tombstones -> 0 impact
         ip[i, : len(indptr)] = indptr
         ip[i, len(indptr) :] = indptr[-1] if len(indptr) else 0
         pd[i, : len(d)] = d
@@ -133,7 +135,10 @@ def build_sharded(
         post_val=jax.device_put(pv, shard0),
         alive=jax.device_put(al, shard0),
         doc_base=jax.device_put(
-            np.array(bases, np.int32).reshape(n_shards, 1), shard0
+            np.array(
+                [h.doc_base for h in hosts], np.int32
+            ).reshape(n_shards, 1),
+            shard0,
         ),
         hosts=hosts,
         stats=stats,
@@ -141,6 +146,25 @@ def build_sharded(
         d_pad=d_pad,
         cap_hint=cap_hint,
     )
+
+
+def build_sharded(
+    texts, config: IndexConfig, mesh: Mesh
+) -> ShardedIndex:
+    """Build a document-sharded index: contiguous doc ranges per shard,
+    corpus-global df/idf (host merge; `psum` in the SPMD build demo),
+    fleet-uniform padded shapes, one sharded device_put."""
+    texts = list(texts)
+    n_shards = mesh.devices.size
+    n_docs = len(texts)
+    per = -(-n_docs // n_shards) if n_docs else 1
+    hosts = []
+    for i in range(n_shards):
+        lo, hi = min(i * per, n_docs), min((i + 1) * per, n_docs)
+        a = builder.analyze_texts_fast(texts[lo:hi], config)
+        host, _d, _t = _host_from_analyzed(a, lo)
+        hosts.append(host)
+    return assemble_sharded(hosts, config, mesh)
 
 
 @partial(
@@ -208,6 +232,67 @@ class DistributedSearchEngine:
 
     def build(self, texts) -> None:
         self.index = build_sharded(texts, self.config, self.mesh)
+
+    @property
+    def n_docs_total(self) -> int:
+        if self.index is None:
+            return 0
+        return max(
+            h.doc_base + h.n_docs for h in self.index.hosts
+        )
+
+    def add_docs(self, texts) -> list:
+        """Incremental add: new docs join the last shard (its global-id
+        range stays contiguous); global stats and idf-dependent values
+        refresh exactly (same semantics as SearchEngine.add_docs —
+        tested bit-identical). Rebalancing across shards is a compact-
+        style rebuild (`build`)."""
+        texts = list(texts)
+        if not texts:
+            return []
+        if self.index is None:
+            self.build(texts)
+            return list(range(len(texts)))
+        hosts = self.index.hosts
+        last = hosts[-1]
+        base0 = self.n_docs_total
+        a_new = builder.analyze_texts_fast(texts, self.config)
+        merged = builder.AnalyzedDocs(
+            hashes=np.concatenate([last.doc_hashes, a_new.hashes]),
+            tfs=np.concatenate([last.doc_tfs, a_new.tfs]),
+            doc_ptr=np.concatenate(
+                [last.doc_ptr, last.doc_ptr[-1] + a_new.doc_ptr[1:]]
+            ),
+            dl=np.concatenate([last.dl, a_new.dl]),
+        )
+        new_last, _d, _t = _host_from_analyzed(merged, last.doc_base)
+        new_last.alive[: last.n_docs] = last.alive
+        self.index = assemble_sharded(
+            hosts[:-1] + [new_last], self.config, self.mesh
+        )
+        return list(range(base0, base0 + a_new.n_docs))
+
+    def delete_docs(self, global_ids) -> None:
+        """Tombstone docs across shards with exact df/N/avgdl updates."""
+        if self.index is None:
+            return
+        hosts = self.index.hosts
+        changed = False
+        for g in global_ids:
+            for h in hosts:
+                if h.doc_base <= g < h.doc_base + h.n_docs:
+                    ld = g - h.doc_base
+                    if h.alive[ld]:
+                        h.alive[ld] = False
+                        s, e = h.doc_ptr[ld], h.doc_ptr[ld + 1]
+                        rows = np.searchsorted(
+                            h.term_hash, h.doc_hashes[s:e]
+                        )
+                        h.df[rows] -= 1
+                        changed = True
+                    break
+        if changed:
+            self.index = assemble_sharded(hosts, self.config, self.mesh)
 
     def search(self, queries, k: int = 10):
         idx = self.index

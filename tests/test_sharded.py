@@ -58,3 +58,30 @@ def test_more_shards_than_docs():
     ids, scores = dist.search(["two", "three one"], k=3)
     assert ids[0, 0] == 1
     assert set(ids[1, :2].tolist()) == {0, 2}
+
+
+@pytest.mark.parametrize("kind", ["tfidf", "bm25"])
+def test_sharded_incremental_matches_single(corpus, kind):
+    """Sharded add/delete must stay bit-identical to the single-device
+    engine (and hence the oracle) through incremental updates."""
+    docs, queries = corpus
+    cfg = IndexConfig(scoring=ScoringConfig(kind=kind))
+    single = SearchEngine(cfg)
+    single.build(docs[:70])
+    dist = DistributedSearchEngine(cfg, mesh=make_mesh(4))
+    dist.build(docs[:70])
+
+    ids_s = single.add_docs(docs[70:])
+    ids_d = dist.add_docs(docs[70:])
+    assert ids_s == ids_d
+    r_ids, r_sc = single.search(queries, k=10)
+    d_ids, d_sc = dist.search(queries, k=10)
+    np.testing.assert_array_equal(d_ids, r_ids)
+    np.testing.assert_array_equal(d_sc, r_sc)
+
+    single.delete_docs([0, 35, 71, 89])
+    dist.delete_docs([0, 35, 71, 89])
+    r_ids, r_sc = single.search(queries, k=10)
+    d_ids, d_sc = dist.search(queries, k=10)
+    np.testing.assert_array_equal(d_ids, r_ids)
+    np.testing.assert_array_equal(d_sc, r_sc)
