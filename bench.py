@@ -46,7 +46,7 @@ def zipf_df(n_docs: int, vocab: int, avg_terms: int):
 
 def main():
     n_docs = int(os.environ.get("BENCH_DOCS", 1_000_000))
-    nq = int(os.environ.get("BENCH_NQ", 256))
+    nq = int(os.environ.get("BENCH_NQ", 1024))
     k = int(os.environ.get("BENCH_K", 10))
     iters = int(os.environ.get("BENCH_ITERS", 20))
     kind = os.environ.get("BENCH_KIND", "bm25")
@@ -128,7 +128,7 @@ def main():
     coeff = (rng.random((nq, s_slots)).astype(np.float32) * 2.0 + 0.1)
     found = np.ones_like(rows, bool)
     c_total = total_cap(indptr, rows, found)
-    ds_block = int(os.environ.get("BENCH_DS_BLOCK", 512))
+    ds_block = int(os.environ.get("BENCH_DS_BLOCK", 1024))
     n_blocks = (
         block_plan(indptr, rows, found, block=ds_block)
         if path == "ds"
@@ -214,10 +214,20 @@ def main():
     log(f"compile+first step: {time.perf_counter()-t0:.1f}s")
     _ = np.asarray(step(rows_d, coeff_d)[1][:1])
 
+    # Pipelined serving loop: dispatch batch i+1 before reading batch i's
+    # results, overlapping device compute with the tunnel's ~35ms
+    # dispatch->D2H round-trip latency (real TPU hosts see microseconds).
+    depth = int(os.environ.get("BENCH_DEPTH", 2))
+    from collections import deque
+
     t0 = time.perf_counter()
+    inflight = deque()
     for _i in range(iters):
-        out = step(rows_d, coeff_d)
-        ids = np.asarray(out[1])  # D2H each batch, as serving would
+        inflight.append(step(rows_d, coeff_d))
+        if len(inflight) >= depth:
+            _ = np.asarray(inflight.popleft()[1])
+    while inflight:
+        _ = np.asarray(inflight.popleft()[1])
     dt = time.perf_counter() - t0
     qps = nq * iters / dt
     log(
