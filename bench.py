@@ -75,6 +75,22 @@ def main():
     log(f"platform: {jax.devices()[0].platform} x{len(jax.devices())}")
     cfg = IndexConfig(scoring=ScoringConfig(kind=kind))
 
+    # secondary metric (BASELINE.json:2): index build docs/sec, host side
+    # (analyzer + CSR pack) on a real text corpus
+    if os.environ.get("BENCH_BUILD", "1") == "1":
+        from document_search_engine_tpu.corpus.synth import synth_corpus
+        from document_search_engine_tpu.index import builder as _builder
+
+        bd = synth_corpus(n_docs=20000, vocab_size=30000, mean_len=120, seed=5)
+        t0 = time.perf_counter()
+        _a = _builder.analyze_texts_fast(bd, cfg)
+        _h, _dev = _builder.build_segment(_a, cfg)
+        dt = time.perf_counter() - t0
+        log(
+            f"index build: {len(bd)} docs in {dt:.2f}s -> "
+            f"{len(bd)/dt:,.0f} docs/sec (analyze+pack+materialize, host)"
+        )
+
     df = zipf_df(n_docs, vocab, avg_terms)
     nnz = int(df.sum())
     indptr64 = np.zeros(vocab + 1, np.int64)
