@@ -53,7 +53,7 @@ def main():
     path = os.environ.get("BENCH_PATH", "ds")  # ds | gather | pallas
     use_pallas = path == "pallas" or os.environ.get("BENCH_PALLAS") == "1"
     vocab = max(50_000, n_docs // 5)
-    avg_terms = 60
+    avg_terms = int(os.environ.get("BENCH_AVG_TERMS", 60))
 
     enable_persistent_cache()
     import jax

@@ -71,7 +71,10 @@ class SearchEngine:
         texts = list(texts)
         if not texts:
             return []
-        analyzed = builder.analyze_texts_fast(texts, self.config)
+        from ..utils import prof
+
+        with prof.phase("build.analyze"):
+            analyzed = builder.analyze_texts_fast(texts, self.config)
         doc_base = self.n_docs_total
         host, device = builder.build_segment(
             analyzed, self.config, doc_base=doc_base
@@ -260,8 +263,11 @@ class SearchEngine:
                 np.full((nq, k), -1, np.int64),
                 np.full((nq, k), -1, np.int64),
             )
-        slot_h, coeff = self.frontend.analyze(queries, self.stats)
-        slot_h, coeff = slice_active_slots(slot_h, coeff)
+        from ..utils import prof
+
+        with prof.phase("search.analyze"):
+            slot_h, coeff = self.frontend.analyze(queries, self.stats)
+            slot_h, coeff = slice_active_slots(slot_h, coeff)
         sc = self.config.scoring
         scale = F32(2.0**sc.scale_bits)
         clip = F32(int(spec.quant_clip_max(self.config.max_query_terms)))
@@ -269,6 +275,8 @@ class SearchEngine:
         block = 512
 
         all_vals, all_gids = [], []
+        prof_score = prof.phase("search.score")
+        prof_score.__enter__()
         for host, device in self.segments:
             rows, found = segment_rows(host.term_hash, slot_h)
             a_seg = np.where(found, coeff, F32(0.0)).astype(F32)
@@ -301,6 +309,7 @@ class SearchEngine:
                 seg_g[idx] = np.asarray(g)[: len(idx)]
             all_vals.append(seg_v)
             all_gids.append(seg_g)
+        prof_score.__exit__(None, None, None)
         if len(all_vals) == 1:
             v, g = all_vals[0], all_gids[0]
         else:

@@ -1,0 +1,76 @@
+"""Randomized cross-engine parity fuzzing: random configs, corpora, and
+operation sequences must keep engine == oracle bit-identical. This is the
+load-bearing confidence test beyond the handcrafted cases."""
+import numpy as np
+import pytest
+
+from document_search_engine_tpu.config import (
+    AnalyzerConfig,
+    IndexConfig,
+    ScoringConfig,
+)
+from document_search_engine_tpu.corpus.synth import synth_corpus, synth_queries
+from document_search_engine_tpu.engine.engine import SearchEngine
+from document_search_engine_tpu.oracle import OracleEngine
+
+
+@pytest.mark.parametrize("seed", [101, 202, 303])
+def test_fuzz_random_ops_parity(seed):
+    rng = np.random.default_rng(seed)
+    kind = rng.choice(["tfidf", "bm25"])
+    cfg = IndexConfig(
+        analyzer=AnalyzerConfig(
+            min_token_len=int(rng.integers(1, 3)),
+            max_token_len=int(rng.integers(8, 64)),
+            stopwords=tuple(
+                rng.choice(["ba", "ke", "lu", "mi"], rng.integers(0, 3), replace=False)
+            ),
+        ),
+        scoring=ScoringConfig(
+            kind=str(kind),
+            k1=float(rng.uniform(0.5, 2.0)),
+            b=float(rng.uniform(0.0, 1.0)),
+        ),
+        max_query_terms=int(rng.integers(4, 33)),
+    )
+    docs = synth_corpus(
+        n_docs=int(rng.integers(30, 120)),
+        vocab_size=int(rng.integers(100, 800)),
+        mean_len=int(rng.integers(10, 80)),
+        seed=seed,
+    )
+    queries = synth_queries(
+        docs,
+        n_queries=int(rng.integers(3, 12)),
+        terms_per_query=int(rng.integers(1, 10)),
+        seed=seed + 1,
+    ) + ["", "zzz absent words"]
+
+    eng = SearchEngine(cfg)
+    ora = OracleEngine(cfg)
+    n0 = int(rng.integers(10, len(docs)))
+    eng.build(docs[:n0])
+    ora.build(docs[:n0])
+
+    def check(msg):
+        k = int(rng.integers(1, 25))
+        ei, es = eng.search(queries, k=k)
+        oi, os_ = ora.search(queries, k=k)
+        np.testing.assert_array_equal(ei, oi, err_msg=msg)
+        np.testing.assert_array_equal(es, os_, err_msg=msg)
+
+    check("initial build")
+    for step in range(3):
+        op = rng.choice(["add", "delete", "compact"])
+        if op == "add" and n0 < len(docs):
+            hi = min(len(docs), n0 + int(rng.integers(1, 20)))
+            eng.add_docs(docs[n0:hi])
+            ora.add_docs(docs[n0:hi])
+            n0 = hi
+        elif op == "delete":
+            ids = rng.integers(0, n0, size=rng.integers(1, 6)).tolist()
+            eng.delete_docs(ids)
+            ora.delete_docs(ids)
+        else:
+            eng.compact()  # oracle needs no compact; results must match
+        check(f"after {op} (step {step})")
