@@ -1,23 +1,28 @@
 """Benchmark: batched queries/sec/chip (primary metric, BASELINE.json:2).
 
-Times the production search step — packed fixed-point scoring + ranked
-top-k (ops/packed.py) — at steady state on the real chip, including the
-per-batch device-to-host result read a serving loop performs. Work in this
-step depends on postings touched per query, not corpus size, so a 1M-doc
-single-chip run approximates queries/sec/chip of an 8M-doc 8-chip
-document-sharded deployment (each chip scores its local shard).
+Runs a depth-pipelined serving loop over the production search step —
+bucketed packed fixed-point scoring + ranked top-k (ops/packed.py,
+ops/schedule.py) — at steady state on the real chip, reading each batch's
+results back to host as serving would. Work in this step depends on
+postings touched per query, not corpus size, so a 1M-doc single-chip run
+approximates queries/sec/chip of an 8M-doc 8-chip document-sharded
+deployment (each chip scores its local shard); an 8M single-chip config
+is also supported directly (BENCH_DOCS=8000000).
 
-The synthetic Zipf index is generated ON DEVICE under jit: the axon
-tunnel's host->device path measures ~15-30 MB/s (plus a ~400s one-time
-session claim), so shipping a 650MB index from host would take ~30min and
+The synthetic Zipf index is generated ON DEVICE under jit, in bounded
+chunks: the axon dev tunnel's host->device path measures ~2-30 MB/s (plus
+a ~400s one-time session claim), so shipping the index from host would
 measure the tunnel, not the engine. Real TPU hosts feed HBM at GB/s.
+Secondary metric (index build docs/sec, host analyzer + CSR pack) prints
+to stderr.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"};
 vs_baseline is value / 10_000 (the BASELINE.json:5 target).
 
-Env knobs: BENCH_DOCS (default 1_000_000), BENCH_NQ (256), BENCH_K (10),
-BENCH_ITERS (20), BENCH_KIND (bm25), BENCH_PALLAS (0/1: use the Pallas
-DMA packing kernel instead of XLA gathers).
+Env knobs: BENCH_DOCS (default 1_000_000), BENCH_NQ (1024), BENCH_K (10),
+BENCH_ITERS (20), BENCH_KIND (bm25), BENCH_DEPTH (2, pipelining),
+BENCH_DS_BLOCK (1024), BENCH_DS_ALT ("512,2048" same-index A/B report),
+BENCH_AVG_TERMS (60), BENCH_PATH (ds | gather | pallas), BENCH_BUILD (1).
 """
 from __future__ import annotations
 
@@ -99,31 +104,43 @@ def main():
     nnz_pad = ((nnz + BLOCK - 1) // BLOCK + 1) * BLOCK
     log(f"synth index: {n_docs} docs, {vocab} terms, nnz={nnz/1e6:.1f}M (device-side gen)")
 
+    # chunked device-side generation: a single-shot gen at 8M docs
+    # (156M postings) crashed the TPU worker; bounded chunks keep peak
+    # memory flat and the first-chunk compile small.
+    gen_chunk_elems = 1 << 24
+
     @jax.jit
-    def gen_index(indptr_d, lens_d, key):
-        # row of each posting + offset within the row, all on device
-        row_of = jnp.searchsorted(
-            indptr_d[1:], jnp.arange(nnz_pad, dtype=jnp.int32), side="right"
-        ).astype(jnp.int32)
+    def gen_chunk(indptr_d, lens_d, key, start):
+        i = start + jnp.arange(gen_chunk_elems, dtype=jnp.int32)
+        row_of = jnp.searchsorted(indptr_d[1:], i, side="right").astype(
+            jnp.int32
+        )
         row_of = jnp.minimum(row_of, vocab - 1)
-        pos = jnp.arange(nnz_pad, dtype=jnp.int32) - indptr_d[row_of]
-        u = jax.random.uniform(key, (nnz_pad,), jnp.float32)
+        pos = i - indptr_d[row_of]
+        u = jax.random.uniform(key, (gen_chunk_elems,), jnp.float32)
         ln = jnp.maximum(lens_d[row_of], 1).astype(jnp.float32)
-        # sorted-by-construction doc ids: (pos + u)/len * n_docs
         doc = ((pos.astype(jnp.float32) + u) / ln * n_docs).astype(jnp.int32)
         doc = jnp.clip(doc, 0, n_docs - 1)
-        val = jax.random.uniform(key, (nnz_pad,), jnp.float32) * 0.9 + 0.05
-        pad = jnp.arange(nnz_pad) >= nnz
-        doc = jnp.where(pad, n_docs, doc)
-        val = jnp.where(pad, 0.0, val)
-        return doc, val
+        val = jax.random.uniform(key, (gen_chunk_elems,), jnp.float32)
+        val = val * 0.9 + 0.05
+        pad = i >= nnz
+        return jnp.where(pad, n_docs, doc), jnp.where(pad, 0.0, val)
 
     t0 = time.perf_counter()
     indptr_d = jnp.asarray(indptr)
     lens_d = jnp.asarray(df.astype(np.int32))
-    post_doc, post_val = gen_index(
-        indptr_d, lens_d, jax.random.PRNGKey(1)
-    )
+    key = jax.random.PRNGKey(1)
+    dchunks, vchunks = [], []
+    for c0 in range(0, nnz_pad, gen_chunk_elems):
+        d_c, v_c = gen_chunk(
+            indptr_d, lens_d, jax.random.fold_in(key, c0),
+            jnp.int32(c0),
+        )
+        dchunks.append(d_c)
+        vchunks.append(v_c)
+    post_doc = jnp.concatenate(dchunks)[:nnz_pad]
+    post_val = jnp.concatenate(vchunks)[:nnz_pad]
+    del dchunks, vchunks
     if use_pallas:
         @jax.jit
         def to_rec(d, v):
@@ -174,46 +191,49 @@ def main():
             bucket_queries,
         )
 
-        nblk_q = blocks_per_query(indptr, rows, found, ds_block)
-        buckets = []
-        for idx, nb in bucket_queries(nblk_q):
-            bq = 1 << int(np.ceil(np.log2(max(len(idx), 1))))
-            r_sub = np.zeros((bq, s_slots), np.int32)
-            a_sub = np.zeros((bq, s_slots), np.float32)
-            r_sub[: len(idx)] = rows[idx]
-            a_sub[: len(idx)] = coeff[idx]
-            buckets.append(
-                (jnp.asarray(r_sub), jnp.asarray(a_sub), nb, len(idx))
-            )
-        log(
-            "buckets: "
-            + ", ".join(f"{n}q@{nb}blk" for _, _, nb, n in buckets)
-        )
-
-        nbs = [b[2] for b in buckets]
-
-        @jax.jit
-        def fused(pd, pv, ip, rs, cs):
-            # all buckets inside one XLA program: one dispatch per batch
-            outs = [
-                search_packed_ds(
-                    pd, pv, ip, r, a, scale, clip, jnp.int32(0),
-                    n_blocks=nb, k=k, n_docs=n_docs, block=ds_block,
+        def make_step(blocksize):
+            nblk_q = blocks_per_query(indptr, rows, found, blocksize)
+            buckets = []
+            for idx, nb in bucket_queries(nblk_q):
+                bq = 1 << int(np.ceil(np.log2(max(len(idx), 1))))
+                r_sub = np.zeros((bq, s_slots), np.int32)
+                a_sub = np.zeros((bq, s_slots), np.float32)
+                r_sub[: len(idx)] = rows[idx]
+                a_sub[: len(idx)] = coeff[idx]
+                buckets.append(
+                    (jnp.asarray(r_sub), jnp.asarray(a_sub), nb, len(idx))
                 )
-                for (r, a), nb in zip(zip(rs, cs), nbs)
-            ]
-            return (
-                jnp.concatenate([o[0] for o in outs], axis=0),
-                jnp.concatenate([o[1] for o in outs], axis=0),
+            log(
+                f"block={blocksize} buckets: "
+                + ", ".join(f"{n}q@{nb}blk" for _, _, nb, n in buckets)
             )
+            nbs = [b[2] for b in buckets]
 
-        bucket_rows = tuple(b[0] for b in buckets)
-        bucket_coeffs = tuple(b[1] for b in buckets)
+            @jax.jit
+            def fused(pd, pv, ip, rs, cs):
+                # all buckets inside one XLA program: one dispatch/batch
+                outs = [
+                    search_packed_ds(
+                        pd, pv, ip, r, a, scale, clip, jnp.int32(0),
+                        n_blocks=nb, k=k, n_docs=n_docs, block=blocksize,
+                    )
+                    for (r, a), nb in zip(zip(rs, cs), nbs)
+                ]
+                return (
+                    jnp.concatenate([o[0] for o in outs], axis=0),
+                    jnp.concatenate([o[1] for o in outs], axis=0),
+                )
 
-        def step(rows_d, coeff_d):
-            return fused(
-                post_doc, post_val, indptr_d, bucket_rows, bucket_coeffs
-            )
+            br = tuple(b[0] for b in buckets)
+            bc = tuple(b[1] for b in buckets)
+            return lambda r, c: fused(post_doc, post_val, indptr_d, br, bc)
+
+        step = make_step(ds_block)
+        alt_blocks = [
+            int(b)
+            for b in os.environ.get("BENCH_DS_ALT", "").split(",")
+            if b.strip()
+        ]
     else:
         step_full = jax.jit(
             lambda ip, pd, pv, r, a: search_packed(
@@ -250,6 +270,26 @@ def main():
         f"{iters} iters in {dt:.3f}s -> {qps:,.0f} q/s/chip "
         f"({dt/iters*1e3:.2f} ms/batch of {nq})"
     )
+
+    # optional same-index A/B over alternative block sizes (stderr only)
+    if path == "ds":
+        for b in alt_blocks:
+            stp = make_step(b)
+            _ = np.asarray(stp(rows_d, coeff_d)[1][:1])
+            _ = np.asarray(stp(rows_d, coeff_d)[1][:1])
+            t0 = time.perf_counter()
+            inflight = deque()
+            for _i in range(iters):
+                inflight.append(stp(rows_d, coeff_d))
+                if len(inflight) >= depth:
+                    _ = np.asarray(inflight.popleft()[1])
+            while inflight:
+                _ = np.asarray(inflight.popleft()[1])
+            dtb = time.perf_counter() - t0
+            log(
+                f"alt block={b}: {nq*iters/dtb:,.0f} q/s/chip "
+                f"({dtb/iters*1e3:.2f} ms/batch)"
+            )
     print(
         json.dumps(
             {

@@ -26,29 +26,85 @@ class QueryFrontend:
         self.tokenizer = Tokenizer(config.analyzer)
         self.hasher = TermHasher()
 
-    def analyze(self, queries, stats: GlobalStats):
-        """(slot_hashes (nq,S) uint64, coeff (nq,S) f32). Empty slots have
-        hash 0 and coeff 0 (contribute nothing in any segment)."""
+    def _analyze_one(self, q: str, stats: GlobalStats, s: int):
+        kind = self.config.scoring.kind
+        toks = self.tokenizer(q)
+        if not toks:
+            return None
+        counts = Counter(self.hasher.hash_tokens(toks).tolist())
+        hashes = np.array(sorted(counts), dtype=np.uint64)
+        qtf = np.array([counts[h] for h in hashes.tolist()], dtype=np.int32)
+        dfs = stats.df_of(hashes)
+        idf_s = spec.idf_of(kind, stats.n_alive, dfs)
+        hashes, qtf, idf_s = spec.select_query_slots(hashes, qtf, idf_s, s)
+        a = spec.query_coeffs(kind, qtf, idf_s)
+        return hashes, a
+
+    def analyze_slow(self, queries, stats: GlobalStats):
+        """Per-query reference frontend (the spec as written)."""
         s = self.config.max_query_terms
         nq = len(queries)
         out_h = np.zeros((nq, s), dtype=np.uint64)
         out_a = np.zeros((nq, s), dtype=F32)
-        kind = self.config.scoring.kind
         for i, q in enumerate(queries):
-            toks = self.tokenizer(q)
-            if not toks:
+            r = self._analyze_one(q, stats, s)
+            if r is None:
                 continue
-            counts = Counter(self.hasher.hash_tokens(toks).tolist())
-            hashes = np.array(sorted(counts), dtype=np.uint64)
-            qtf = np.array(
-                [counts[h] for h in hashes.tolist()], dtype=np.int32
-            )
-            dfs = stats.df_of(hashes)
-            idf_s = spec.idf_of(kind, stats.n_alive, dfs)
-            hashes, qtf, idf_s = spec.select_query_slots(
-                hashes, qtf, idf_s, s
-            )
-            a = spec.query_coeffs(kind, qtf, idf_s)
+            hashes, a = r
+            out_h[i, : len(hashes)] = hashes
+            out_a[i, : len(hashes)] = a
+        return out_h, out_a
+
+    def analyze(self, queries, stats: GlobalStats):
+        """(slot_hashes (nq,S) uint64, coeff (nq,S) f32). Empty slots have
+        hash 0 and coeff 0 (contribute nothing in any segment).
+
+        Batched fast path: native analyzer over all queries, one
+        searchsorted for df, vectorized f32 spec math in the same
+        per-query operation order (bit-identical to analyze_slow —
+        tested). Queries with more unique terms than slots take the
+        per-query path (slot selection is per-query logic)."""
+        from ..index import builder
+
+        s = self.config.max_query_terms
+        nq = len(queries)
+        queries = [q if isinstance(q, str) else str(q) for q in queries]
+        analyzed = builder.analyze_texts_fast(queries, self.config)
+        lens = np.diff(analyzed.doc_ptr)
+        out_h = np.zeros((nq, s), dtype=np.uint64)
+        out_a = np.zeros((nq, s), dtype=F32)
+        if len(analyzed.hashes) == 0:
+            return out_h, out_a
+
+        ok = lens <= s  # slot-overflow queries take the per-query path
+        slot_idx = analyzed.doc_ptr[:-1, None] + np.arange(s)[None, :]
+        mask = (np.arange(s)[None, :] < lens[:, None]) & ok[:, None]
+        slot_idx = np.clip(slot_idx, 0, len(analyzed.hashes) - 1)
+        out_h = np.where(mask, analyzed.hashes[slot_idx], np.uint64(0))
+        qtf = np.where(mask, analyzed.tfs[slot_idx], 0).astype(np.int32)
+
+        kind = self.config.scoring.kind
+        dfs = stats.df_of(out_h.reshape(-1)).reshape(nq, s)
+        dfs = np.where(mask, dfs, 0)
+        idf = spec.idf_of(kind, stats.n_alive, dfs)
+        qtff = qtf.astype(F32)
+        if kind == "tfidf":
+            qw = (qtff * idf).astype(F32)
+            qnorm = np.sqrt(spec.seq_sumsq(qw, axis=1)).astype(F32)
+            qnorm_safe = np.where(qnorm == F32(0.0), F32(1.0), qnorm)
+            out_a = ((qw / qnorm_safe[:, None]) * idf).astype(F32)
+            out_a = np.where(qnorm[:, None] == F32(0.0), F32(0.0), out_a)
+        else:
+            out_a = (qtff * idf).astype(F32)
+        out_a = np.where(idf == F32(0.0), F32(0.0), out_a).astype(F32)
+
+        for i in np.nonzero(~ok)[0]:
+            out_h[i] = 0
+            out_a[i] = F32(0.0)
+            r = self._analyze_one(queries[i], stats, s)
+            if r is None:
+                continue
+            hashes, a = r
             out_h[i, : len(hashes)] = hashes
             out_a[i, : len(hashes)] = a
         return out_h, out_a

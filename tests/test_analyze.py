@@ -42,3 +42,33 @@ def test_hash_no_collisions_on_synth_vocab():
     vocab = make_vocab(20000, seed=3)
     hashes = TermHasher().hash_tokens(vocab)
     assert len(np.unique(hashes)) == len(vocab)
+
+
+def test_query_frontend_fast_matches_slow():
+    """Vectorized batched query frontend must be bit-identical to the
+    per-query reference, including overflow and unicode fallbacks."""
+    from document_search_engine_tpu.config import IndexConfig, ScoringConfig
+    from document_search_engine_tpu.corpus.synth import (
+        synth_corpus,
+        synth_queries,
+    )
+    from document_search_engine_tpu.engine.engine import SearchEngine
+
+    docs = synth_corpus(n_docs=80, vocab_size=500, mean_len=40, seed=31)
+    queries = synth_queries(docs, n_queries=12, terms_per_query=6, seed=32)
+    queries += [
+        "",
+        "zzz unknown words",
+        " ".join(docs[0].split()[:40]),  # overflows max_query_terms=8
+        "unicode K elvin café",
+    ]
+    for kind in ("tfidf", "bm25"):
+        cfg = IndexConfig(
+            scoring=ScoringConfig(kind=kind), max_query_terms=8
+        )
+        eng = SearchEngine(cfg)
+        eng.build(docs)
+        fast_h, fast_a = eng.frontend.analyze(queries, eng.stats)
+        slow_h, slow_a = eng.frontend.analyze_slow(queries, eng.stats)
+        np.testing.assert_array_equal(fast_h, slow_h)
+        np.testing.assert_array_equal(fast_a, slow_a)
