@@ -23,7 +23,7 @@ from ..config import IndexConfig
 from ..engine.query import QueryFrontend, segment_rows
 from ..index import builder
 from ..index.csr import GlobalStats, merge_stats, round_up
-from ..ops.pack_pallas import block_plan
+from ..ops.schedule import blocks_per_query, bucket_queries
 from ..ops.packed import search_packed_ds
 from ..ops.topk import merge_candidates
 from ..oracle import spec
@@ -306,43 +306,45 @@ class DistributedSearchEngine:
         from ..engine.engine import slice_active_slots
 
         slot_h, coeff = slice_active_slots(slot_h, coeff)
-        nq_pad = 1 << int(np.ceil(np.log2(max(nq, 1))))
-        if nq_pad > nq:
-            slot_h = np.vstack(
-                [slot_h, np.zeros((nq_pad - nq, slot_h.shape[1]), np.uint64)]
-            )
-            coeff = np.vstack(
-                [coeff, np.zeros((nq_pad - nq, coeff.shape[1]), F32)]
-            )
         n_shards = idx.n_shards
         s = slot_h.shape[1]
-        rows = np.zeros((n_shards, nq_pad, s), np.int32)
-        coeffs = np.zeros((n_shards, nq_pad, s), F32)
-        cap = 1
+        rows = np.zeros((n_shards, nq, s), np.int32)
+        coeffs = np.zeros((n_shards, nq, s), F32)
+        # per-query block budget = max over shards (uniform SPMD shapes)
+        nblk_q = np.zeros(nq, np.int64)
         for i, h in enumerate(idx.hosts):
             r, found = segment_rows(h.term_hash, slot_h)
             rows[i] = r
             coeffs[i] = np.where(found, coeff, F32(0.0))
-            cap = max(cap, block_plan(h.indptr, r, found, block=512))
+            nblk_q = np.maximum(
+                nblk_q, blocks_per_query(h.indptr, r, found, 512)
+            )
         sc = self.config.scoring
         scale = jnp.float32(2.0**sc.scale_bits)
         clip = jnp.float32(int(spec.quant_clip_max(self.config.max_query_terms)))
         shard0 = NamedSharding(self.mesh, P(DOCS_AXIS))
-        vals, gids = _sharded_search_step(
-            idx.indptr,
-            idx.post_doc,
-            idx.post_val,
-            idx.doc_base,
-            jax.device_put(rows, shard0),
-            jax.device_put(coeffs, shard0),
-            scale,
-            clip,
-            k=k,
-            cap=cap,
-            d_pad=idx.d_pad,
-            mesh_=self.mesh,
-        )
-        return (
-            np.asarray(gids)[:nq].astype(np.int64),
-            np.asarray(vals)[:nq].astype(np.int64),
-        )
+        out_g = np.full((nq, k), -1, np.int64)
+        out_v = np.full((nq, k), -1, np.int64)
+        for idx_q, n_blocks in bucket_queries(nblk_q):
+            bq = 1 << int(np.ceil(np.log2(max(len(idx_q), 1))))
+            r_sub = np.zeros((n_shards, bq, s), np.int32)
+            a_sub = np.zeros((n_shards, bq, s), F32)
+            r_sub[:, : len(idx_q)] = rows[:, idx_q]
+            a_sub[:, : len(idx_q)] = coeffs[:, idx_q]
+            vals, gids = _sharded_search_step(
+                idx.indptr,
+                idx.post_doc,
+                idx.post_val,
+                idx.doc_base,
+                jax.device_put(r_sub, shard0),
+                jax.device_put(a_sub, shard0),
+                scale,
+                clip,
+                k=k,
+                cap=n_blocks,
+                d_pad=idx.d_pad,
+                mesh_=self.mesh,
+            )
+            out_g[idx_q] = np.asarray(gids)[: len(idx_q)]
+            out_v[idx_q] = np.asarray(vals)[: len(idx_q)]
+        return out_g, out_v
