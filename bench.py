@@ -189,25 +189,36 @@ def main():
         from document_search_engine_tpu.ops.schedule import (
             blocks_per_query,
             bucket_queries,
+            plan_batch,
         )
 
         def make_step(blocksize):
-            nblk_q = blocks_per_query(indptr, rows, found, blocksize)
+            # blocksize None -> mixed-block plan (the engine default)
+            if blocksize is None:
+                plans = plan_batch(indptr, rows, found)
+            else:
+                nblk_q = blocks_per_query(indptr, rows, found, blocksize)
+                plans = [
+                    (idx, nb, blocksize)
+                    for idx, nb in bucket_queries(nblk_q)
+                ]
             buckets = []
-            for idx, nb in bucket_queries(nblk_q):
+            for idx, nb, blk in plans:
                 bq = 1 << int(np.ceil(np.log2(max(len(idx), 1))))
                 r_sub = np.zeros((bq, s_slots), np.int32)
                 a_sub = np.zeros((bq, s_slots), np.float32)
                 r_sub[: len(idx)] = rows[idx]
                 a_sub[: len(idx)] = coeff[idx]
                 buckets.append(
-                    (jnp.asarray(r_sub), jnp.asarray(a_sub), nb, len(idx))
+                    (jnp.asarray(r_sub), jnp.asarray(a_sub), nb, blk, len(idx))
                 )
             log(
-                f"block={blocksize} buckets: "
-                + ", ".join(f"{n}q@{nb}blk" for _, _, nb, n in buckets)
+                f"block={blocksize or 'mixed'} buckets: "
+                + ", ".join(
+                    f"{n}q@{nb}x{blk}" for _, _, nb, blk, n in buckets
+                )
             )
-            nbs = [b[2] for b in buckets]
+            meta = [(b[2], b[3]) for b in buckets]
 
             @jax.jit
             def fused(pd, pv, ip, rs, cs):
@@ -215,9 +226,9 @@ def main():
                 outs = [
                     search_packed_ds(
                         pd, pv, ip, r, a, scale, clip, jnp.int32(0),
-                        n_blocks=nb, k=k, n_docs=n_docs, block=blocksize,
+                        n_blocks=nb, k=k, n_docs=n_docs, block=blk,
                     )
-                    for (r, a), nb in zip(zip(rs, cs), nbs)
+                    for (r, a), (nb, blk) in zip(zip(rs, cs), meta)
                 ]
                 return (
                     jnp.concatenate([o[0] for o in outs], axis=0),
@@ -228,9 +239,11 @@ def main():
             bc = tuple(b[1] for b in buckets)
             return lambda r, c: fused(post_doc, post_val, indptr_d, br, bc)
 
-        step = make_step(ds_block)
+        step = make_step(
+            None if os.environ.get("BENCH_DS_BLOCK", "") == "" else ds_block
+        )
         alt_blocks = [
-            int(b)
+            None if b.strip() == "mixed" else int(b)
             for b in os.environ.get("BENCH_DS_ALT", "").split(",")
             if b.strip()
         ]

@@ -13,7 +13,7 @@ from ..config import IndexConfig
 from ..index import builder
 from ..index.csr import GlobalStats, SegmentDevice, SegmentHost, merge_stats
 from ..ops.packed import search_packed_ds
-from ..ops.schedule import blocks_per_query, bucket_queries
+from ..ops.schedule import plan_batch
 from ..oracle import spec
 from .query import QueryFrontend, segment_rows
 
@@ -272,7 +272,6 @@ class SearchEngine:
         scale = F32(2.0**sc.scale_bits)
         clip = F32(int(spec.quant_clip_max(self.config.max_query_terms)))
         s = coeff.shape[1]
-        block = 512
 
         all_vals, all_gids = [], []
         prof_score = prof.phase("search.score")
@@ -280,12 +279,12 @@ class SearchEngine:
         for host, device in self.segments:
             rows, found = segment_rows(host.term_hash, slot_h)
             a_seg = np.where(found, coeff, F32(0.0)).astype(F32)
-            nblk = blocks_per_query(host.indptr, rows, found, block)
             seg_v = np.full((nq, k), -1, np.int32)
             seg_g = np.full((nq, k), -1, np.int32)
-            # pow-2 block-budget buckets: each runs at its own static
-            # shape so the max query doesn't set everyone's cost
-            for idx, n_blocks in bucket_queries(nblk):
+            # mixed-block pow-2 budget buckets (ops/schedule.py): the max
+            # query doesn't set everyone's cost, and light queries use
+            # fine blocks with less padding
+            for idx, n_blocks, block in plan_batch(host.indptr, rows, found):
                 bq = _pow2_at_least(len(idx))
                 r_sub = np.zeros((bq, s), np.int32)
                 a_sub = np.zeros((bq, s), F32)

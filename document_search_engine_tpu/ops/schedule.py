@@ -24,6 +24,38 @@ def blocks_per_query(
     return (-(-lens // block)).sum(axis=1)
 
 
+def plan_batch(
+    indptr: np.ndarray,
+    rows: np.ndarray,
+    found: np.ndarray,
+    fine: int = 256,
+    coarse: int = 1024,
+    threshold: int = 8192,
+):
+    """Two-family mixed-block schedule: queries touching few postings use
+    fine blocks (less per-slot ceil padding — the dominant population
+    under Zipf), heavy queries use coarse blocks (fewer slices).
+
+    Returns [(query_indices, n_blocks, block_size)] covering every query
+    exactly once.
+    """
+    nq = rows.shape[0]
+    if len(indptr) < 2 or rows.size == 0:
+        return [(np.arange(nq), 1, fine)] if nq else []
+    lens = (indptr[rows + 1] - indptr[rows]) * found
+    totals = lens.sum(axis=1)
+    plans = []
+    small = totals <= threshold
+    for fam, blk in ((small, fine), (~small, coarse)):
+        idx_f = np.nonzero(fam)[0]
+        if not len(idx_f):
+            continue
+        nblk = (-(-lens[idx_f] // blk)).sum(axis=1)
+        for sub, nb in bucket_queries(nblk):
+            plans.append((idx_f[sub], nb, blk))
+    return plans
+
+
 def bucket_queries(nblk: np.ndarray, min_blocks: int = 4):
     """Group query indices by pow-2 block budget.
 
