@@ -257,6 +257,8 @@ class SearchEngine:
     def search(self, queries, k: int = 10):
         """Batched search: (ids, scores) int64 arrays of shape (nq, k),
         ranked by (fixed-point score desc, global doc id asc)."""
+        if k < 1:
+            raise ValueError(f"k must be >= 1, got {k}")
         nq = len(queries)
         if nq == 0 or not self.segments:
             return (

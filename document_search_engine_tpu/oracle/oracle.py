@@ -127,6 +127,8 @@ class OracleEngine:
         Ranking: fixed-point score desc, doc id asc; empty slots are
         id=-1/score=-1 (DESIGN.md §2).
         """
+        if k < 1:
+            raise ValueError(f"k must be >= 1, got {k}")
         if self._stale:
             self._refresh()
         cfg = self.config.scoring

@@ -295,6 +295,8 @@ class DistributedSearchEngine:
             self.index = assemble_sharded(hosts, self.config, self.mesh)
 
     def search(self, queries, k: int = 10):
+        if k < 1:
+            raise ValueError(f"k must be >= 1, got {k}")
         idx = self.index
         nq = len(queries)
         if idx is None or nq == 0:

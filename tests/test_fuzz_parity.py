@@ -74,3 +74,44 @@ def test_fuzz_random_ops_parity(seed):
         else:
             eng.compact()  # oracle needs no compact; results must match
         check(f"after {op} (step {step})")
+
+
+def test_idf_zero_term_in_every_doc():
+    """A term present in every doc has tfidf idf=0 -> contributes nothing;
+    parity must hold (and bm25 still scores it slightly)."""
+    docs = [f"common word{i}" for i in range(6)]
+    for kind in ("tfidf", "bm25"):
+        cfg = IndexConfig(scoring=ScoringConfig(kind=kind))
+        eng, ora = SearchEngine(cfg), OracleEngine(cfg)
+        eng.build(docs)
+        ora.build(docs)
+        ei, es = eng.search(["common", "common word3"], k=6)
+        oi, os_ = ora.search(["common", "common word3"], k=6)
+        np.testing.assert_array_equal(ei, oi)
+        np.testing.assert_array_equal(es, os_)
+        if kind == "tfidf":
+            # 'common' alone: idf 0 -> no matches at all
+            assert (ei[0] == -1).all()
+
+
+def test_degenerate_inputs():
+    eng = SearchEngine()
+    eng.build(["alpha beta", "", "...", "gamma"])
+    ora = OracleEngine()
+    ora.build(["alpha beta", "", "...", "gamma"])
+    ei, es = eng.search(["alpha", ""], k=4)
+    oi, os_ = ora.search(["alpha", ""], k=4)
+    np.testing.assert_array_equal(ei, oi)
+    np.testing.assert_array_equal(es, os_)
+    # double delete + missing id are no-ops beyond the first
+    eng.delete_docs([0])
+    eng.delete_docs([0, 999])
+    ora.delete_docs([0])
+    ora.delete_docs([0])
+    ei, _ = eng.search(["alpha"], k=2)
+    oi, _ = ora.search(["alpha"], k=2)
+    np.testing.assert_array_equal(ei, oi)
+    with pytest.raises(ValueError):
+        eng.search(["x"], k=0)
+    with pytest.raises(ValueError):
+        ora.search(["x"], k=-1)
