@@ -77,7 +77,7 @@ class SearchEngine:
             analyzed = builder.analyze_texts_fast(texts, self.config)
         doc_base = self.n_docs_total
         host, device = builder.build_segment(
-            analyzed, self.config, doc_base=doc_base
+            analyzed, self.config, doc_base=doc_base, materialize=False
         )
         self.segments.append([host, device])
         self.n_docs_total += host.n_docs
@@ -97,7 +97,8 @@ class SearchEngine:
                 continue
             analyzed = builder.analyze_texts_fast(batch, self.config)
             host, device = builder.build_segment(
-                analyzed, self.config, doc_base=self.n_docs_total
+                analyzed, self.config, doc_base=self.n_docs_total,
+                materialize=False,
             )
             self.segments.append([host, device])
             self.n_docs_total += host.n_docs
@@ -173,7 +174,9 @@ class SearchEngine:
             doc_ptr=ptr,
             dl=dl,
         )
-        host, device = builder.build_segment(analyzed, self.config, doc_base=0)
+        host, device = builder.build_segment(
+            analyzed, self.config, doc_base=0, materialize=False
+        )
         host.alive[dead] = False
         self.segments = [[host, device]]
         self._refresh_stats_and_vals()
@@ -228,6 +231,9 @@ class SearchEngine:
             interpret = jax.devices()[0].platform != "tpu"
         kk = max(k, candidates)
         gids, lex = self.search(queries, k=kk)
+        if self.n_docs_total == 0 or not self.segments:
+            ri = np.full((len(queries), k), -1, np.int64)
+            return gids[:, :k], ri, lex[:, :k]
         slot_h, coeff = self.frontend.analyze(queries, self.stats)
         qemb = query_embeddings(slot_h, coeff, dim)
         emb = self._segment_embeddings(dim)
@@ -276,8 +282,14 @@ class SearchEngine:
         s = coeff.shape[1]
 
         all_vals, all_gids = [], []
-        prof_score = prof.phase("search.score")
-        prof_score.__enter__()
+        with prof.phase("search.score"):
+            return self._score_segments(
+                slot_h, coeff, scale, clip, nq, k, s, all_vals, all_gids
+            )
+
+    def _score_segments(
+        self, slot_h, coeff, scale, clip, nq, k, s, all_vals, all_gids
+    ):
         for host, device in self.segments:
             rows, found = segment_rows(host.term_hash, slot_h)
             a_seg = np.where(found, coeff, F32(0.0)).astype(F32)
@@ -310,7 +322,6 @@ class SearchEngine:
                 seg_g[idx] = np.asarray(g)[: len(idx)]
             all_vals.append(seg_v)
             all_gids.append(seg_g)
-        prof_score.__exit__(None, None, None)
         if len(all_vals) == 1:
             v, g = all_vals[0], all_gids[0]
         else:

@@ -207,23 +207,42 @@ def build_segment(
     config: IndexConfig,
     doc_base: int = 0,
     stats: GlobalStats | None = None,
+    materialize: bool = True,
 ) -> tuple:
     """Build one (SegmentHost, SegmentDevice) from analyzed docs.
 
     `stats` defaults to this segment's own vocabulary/df (single-segment
-    build). Multi-segment/incremental callers pass merged global stats and
-    later refresh vals via `refresh_segment_vals`.
+    build). Multi-segment/incremental callers pass merged global stats —
+    or pass materialize=False and refresh vals afterwards
+    (`refresh_segment_vals`), avoiding a throwaway materialization.
     """
+    host = build_host_segment(analyzed, doc_base)
+    if stats is None:
+        stats = GlobalStats(
+            vocab=host.term_hash,
+            df=host.df.copy(),
+            n_alive=host.n_docs,
+            total_len_alive=int(analyzed.dl.sum()),
+        )
+    device = pack_device_segment(
+        host, config, stats, materialize=materialize
+    )
+    return host, device
+
+
+def build_host_segment(analyzed: AnalyzedDocs, doc_base: int) -> SegmentHost:
+    """Host-side segment assembly: vocab/df + CSR pack, one code path
+    shared by the single-process and sharded builders."""
     n_docs = analyzed.n_docs
     vocab, rows, df = segment_vocab(analyzed)
-    n_terms = len(vocab)
     docs = np.repeat(
         np.arange(n_docs, dtype=np.int32),
         np.diff(analyzed.doc_ptr).astype(np.int64),
     )
-    r, d, t, indptr = host_pack(rows, docs, analyzed.tfs, n_terms, n_docs)
-
-    host = SegmentHost(
+    _r, d, t, indptr = host_pack(
+        rows, docs, analyzed.tfs, len(vocab), n_docs
+    )
+    return SegmentHost(
         term_hash=vocab,
         df=df,
         doc_base=doc_base,
@@ -234,16 +253,52 @@ def build_segment(
         doc_tfs=analyzed.tfs,
         doc_ptr=analyzed.doc_ptr,
         indptr=indptr,
+        post_doc=d,
+        post_tf=t,
     )
-    if stats is None:
-        stats = GlobalStats(
-            vocab=vocab,
-            df=df.copy(),
-            n_alive=n_docs,
-            total_len_alive=int(analyzed.dl.sum()),
+
+
+def recompute_alive_df(host: SegmentHost) -> None:
+    """Recount host.df over alive docs only (after alive flags change out
+    of band, e.g. the sharded add path rebuilding a shard)."""
+    doc_of = np.repeat(
+        np.arange(host.n_docs, dtype=np.int64),
+        np.diff(host.doc_ptr).astype(np.int64),
+    )
+    mask = host.alive[doc_of]
+    rows = np.searchsorted(host.term_hash, host.doc_hashes[mask])
+    host.df = np.bincount(
+        rows, minlength=host.n_terms
+    ).astype(np.int32)
+
+
+def segment_vals(
+    host: SegmentHost, config: IndexConfig, stats: GlobalStats
+):
+    """(vals, inv_norm) per current host stats/alive flags, spec-exact.
+    Tombstoned docs' values fold to 0 (DESIGN.md §4: the scorer needs no
+    per-posting alive gather)."""
+    kind = config.scoring.kind
+    if kind == "tfidf":
+        analyzed = AnalyzedDocs(
+            hashes=host.doc_hashes,
+            tfs=host.doc_tfs,
+            doc_ptr=host.doc_ptr,
+            dl=host.dl,
         )
-    device = pack_device_segment(host, d, t, indptr, config, stats, analyzed)
-    return host, device
+        inv_norm = doc_inv_norms(analyzed, stats, kind)
+    else:
+        inv_norm = np.zeros(host.n_docs, dtype=F32)
+    vals = materialize_vals(
+        host.post_doc,
+        host.post_tf.astype(F32),
+        host.dl.astype(F32),
+        inv_norm,
+        config,
+        stats,
+    )
+    vals = vals * host.alive[host.post_doc].astype(F32)
+    return vals, inv_norm
 
 
 def refresh_segment_vals(
@@ -255,93 +310,59 @@ def refresh_segment_vals(
     """Re-materialize idf/avgdl-dependent device values after df/N change
     (incremental add/delete, DESIGN.md §4). Postings (doc, tf) and CSR
     structure are immutable; only inv_norm/post_val/alive are rebuilt,
-    from the per-doc analyzed data kept on host — so an incrementally
-    updated index scores identically to a fresh rebuild.
+    from the host CSR copies — so an incrementally updated index scores
+    identically to a fresh rebuild, with no re-sort or device pull.
     """
-    analyzed = AnalyzedDocs(
-        hashes=host.doc_hashes,
-        tfs=host.doc_tfs,
-        doc_ptr=host.doc_ptr,
-        dl=host.dl,
-    )
-    vocab, rows, _ = segment_vocab(analyzed)
-    docs = np.repeat(
-        np.arange(host.n_docs, dtype=np.int32),
-        np.diff(host.doc_ptr).astype(np.int64),
-    )
-    _, d, t, _ = host_pack(rows, docs, analyzed.tfs, len(vocab), host.n_docs)
-    kind = config.scoring.kind
-    if kind == "tfidf":
-        inv_norm = doc_inv_norms(analyzed, stats, kind)
-    else:
-        inv_norm = np.zeros(host.n_docs, dtype=F32)
-    dl_f = host.dl.astype(F32)
-    vals = materialize_vals(
-        d, t.astype(F32), dl_f, inv_norm, config, stats
-    )
-    # Fold tombstones into the impact values: dead docs' postings become 0
-    # and are excluded by the score>0 rule — the scorer then needs no
-    # per-posting alive gather (a measured ~40ms/4M-element op on TPU).
-    vals = vals * host.alive[d].astype(F32)
-    import jax.numpy as jnp
-
+    vals, inv_norm = segment_vals(host, config, stats)
     d_pad = device.n_docs_pad
     nnz_pad = int(device.post_val.shape[0])
-
-    def pad(a, size, fill, dtype):
-        out = np.full(size, fill, dtype=dtype)
-        out[: len(a)] = a
-        return out
-
     return SegmentDevice(
         indptr=device.indptr,
         post_doc=device.post_doc,
         post_tf=device.post_tf,
-        post_val=jnp.asarray(pad(vals, nnz_pad, 0, np.float32)),
+        post_val=jnp.asarray(_pad(vals, nnz_pad, 0, np.float32)),
         dl=device.dl,
-        alive=jnp.asarray(pad(host.alive, d_pad, False, bool)),
-        inv_norm=jnp.asarray(pad(inv_norm, d_pad, 0, np.float32)),
+        alive=jnp.asarray(_pad(host.alive, d_pad, False, bool)),
+        inv_norm=jnp.asarray(_pad(inv_norm, d_pad, 0, np.float32)),
     )
+
+
+def _pad(a, size, fill, dtype):
+    out = np.full(size, fill, dtype=dtype)
+    out[: len(a)] = a
+    return out
 
 
 def pack_device_segment(
     host: SegmentHost,
-    post_doc: np.ndarray,
-    post_tf: np.ndarray,
-    indptr: np.ndarray,
     config: IndexConfig,
     stats: GlobalStats,
-    analyzed: AnalyzedDocs,
+    materialize: bool = True,
 ) -> SegmentDevice:
+    """Ship a host segment's CSR to the device. With materialize=False the
+    impact values are left zero — callers that immediately run
+    refresh_segment_vals (every incremental path) skip the double
+    materialization."""
     n_docs = host.n_docs
     d_pad = round_up(n_docs + 1, config.docs_pad_to)
-    nnz = len(post_doc)
+    nnz = len(host.post_doc)
     # +2048 margin: the dynamic-slice packing path (ops/packed.py
     # search_packed_ds) reads whole blocks past a row's end; the margin
     # guarantees tail blocks stay inside the array without clamping.
     nnz_pad = max(round_up(nnz + 2048, config.nnz_pad_to), config.nnz_pad_to)
 
-    kind = config.scoring.kind
-    if kind == "tfidf":
-        inv_norm = doc_inv_norms(analyzed, stats, kind)
+    if materialize:
+        vals, inv_norm = segment_vals(host, config, stats)
     else:
+        vals = np.zeros(0, dtype=F32)
         inv_norm = np.zeros(n_docs, dtype=F32)
-    dl_f = host.dl.astype(F32)
-    vals = materialize_vals(
-        post_doc, post_tf.astype(F32), dl_f, inv_norm, config, stats
-    )
-
-    def pad(a, size, fill, dtype):
-        out = np.full(size, fill, dtype=dtype)
-        out[: len(a)] = a
-        return out
 
     return SegmentDevice(
-        indptr=jnp.asarray(indptr),
-        post_doc=jnp.asarray(pad(post_doc, nnz_pad, n_docs, np.int32)),
-        post_tf=jnp.asarray(pad(post_tf, nnz_pad, 0, np.float32)),
-        post_val=jnp.asarray(pad(vals, nnz_pad, 0, np.float32)),
-        dl=jnp.asarray(pad(dl_f, d_pad, 0, np.float32)),
-        alive=jnp.asarray(pad(host.alive, d_pad, False, bool)),
-        inv_norm=jnp.asarray(pad(inv_norm, d_pad, 0, np.float32)),
+        indptr=jnp.asarray(host.indptr),
+        post_doc=jnp.asarray(_pad(host.post_doc, nnz_pad, n_docs, np.int32)),
+        post_tf=jnp.asarray(_pad(host.post_tf, nnz_pad, 0, np.float32)),
+        post_val=jnp.asarray(_pad(vals, nnz_pad, 0, np.float32)),
+        dl=jnp.asarray(_pad(host.dl.astype(F32), d_pad, 0, np.float32)),
+        alive=jnp.asarray(_pad(host.alive, d_pad, False, bool)),
+        inv_norm=jnp.asarray(_pad(inv_norm, d_pad, 0, np.float32)),
     )

@@ -67,6 +67,7 @@ def load_engine(path: str, engine_cls=None):
     engine.n_docs_total = int(meta["n_docs_total"])
     for i in range(int(meta["n_segments"])):
         z = np.load(os.path.join(path, f"segment_{i}.npz"))
+        nnz = int(z["indptr"][-1]) if len(z["indptr"]) else 0
         host = SegmentHost(
             term_hash=z["term_hash"],
             df=z["df"],
@@ -78,6 +79,8 @@ def load_engine(path: str, engine_cls=None):
             doc_tfs=z["doc_tfs"],
             doc_ptr=z["doc_ptr"],
             indptr=z["indptr"],
+            post_doc=z["post_doc"][:nnz],
+            post_tf=z["post_tf"][:nnz].astype(np.int32),
         )
         device = SegmentDevice(
             indptr=jnp.asarray(z["indptr"]),

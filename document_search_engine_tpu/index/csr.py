@@ -33,8 +33,12 @@ class SegmentHost:
     doc_hashes: np.ndarray = field(repr=False, default=None)
     doc_tfs: np.ndarray = field(repr=False, default=None)
     doc_ptr: np.ndarray = field(repr=False, default=None)
-    # host copy of CSR row pointers (for static gather-capacity sizing)
+    # host copies of the CSR arrays: indptr for static capacity sizing,
+    # post_doc/post_tf so value re-materialization (refresh) never has to
+    # re-sort postings or pull them back from the device
     indptr: np.ndarray = field(repr=False, default=None)
+    post_doc: np.ndarray = field(repr=False, default=None)
+    post_tf: np.ndarray = field(repr=False, default=None)
 
     @property
     def n_terms(self) -> int:

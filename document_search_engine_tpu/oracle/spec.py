@@ -149,8 +149,15 @@ def query_coeffs(
 
 
 def quant_clip_max(max_query_terms: int) -> np.int32:
-    """Per-contribution clip so S_max contributions can't overflow int32."""
-    return np.int32((2**31 - 1) // (max_query_terms + 1))
+    """Per-contribution clip so S_max contributions can't overflow int32.
+
+    Rounded down to a multiple of 4 so the value is exactly representable
+    in float32 (clip values live in [2^25, 2^26) where the f32 ulp is 4):
+    the device clips in f32 before the int cast, and a non-representable
+    clip would round up there and break bit parity with the host's integer
+    clip at the saturation boundary.
+    """
+    return np.int32(((2**31 - 1) // (max_query_terms + 1)) & ~3)
 
 
 def quantize_contrib(

@@ -48,57 +48,16 @@ class ShardedIndex:
     cap_hint: int  # max CSR row length across shards
 
 
-def _host_from_analyzed(a, base: int):
-    from ..index.csr import SegmentHost
-
-    vocab, rows, df = builder.segment_vocab(a)
-    docs = np.repeat(
-        np.arange(a.n_docs, dtype=np.int32),
-        np.diff(a.doc_ptr).astype(np.int64),
-    )
-    _r, d, t, indptr = builder.host_pack(
-        rows, docs, a.tfs, len(vocab), a.n_docs
-    )
-    host = SegmentHost(
-        term_hash=vocab,
-        df=df,
-        doc_base=base,
-        n_docs=a.n_docs,
-        dl=a.dl.copy(),
-        alive=np.ones(a.n_docs, dtype=bool),
-        doc_hashes=a.hashes,
-        doc_tfs=a.tfs,
-        doc_ptr=a.doc_ptr,
-        indptr=indptr,
-    )
-    return host, d, t
-
-
 def assemble_sharded(hosts, config: IndexConfig, mesh: Mesh) -> ShardedIndex:
     """Pack per-shard host metadata into fleet-uniform padded device
     arrays with corpus-global stats; used by build and incremental
     updates (the device arrays are fully derivable from SegmentHost)."""
     n_shards = len(hosts)
     stats = merge_stats(hosts)
-    packed = []
-    for h in hosts:
-        a = builder.AnalyzedDocs(
-            hashes=h.doc_hashes, tfs=h.doc_tfs, doc_ptr=h.doc_ptr, dl=h.dl
-        )
-        vocab, rows, _df = builder.segment_vocab(a)
-        docs = np.repeat(
-            np.arange(h.n_docs, dtype=np.int32),
-            np.diff(h.doc_ptr).astype(np.int64),
-        )
-        _r, d, t, indptr = builder.host_pack(
-            rows, docs, h.doc_tfs, len(vocab), h.n_docs
-        )
-        packed.append((a, d, t, indptr))
-
     t_pad = max(h.n_terms for h in hosts)
     nnz_pad = max(
         round_up(
-            max(len(p[1]) for p in packed) + 2048, config.nnz_pad_to
+            max(len(h.post_doc) for h in hosts) + 2048, config.nnz_pad_to
         ),
         config.nnz_pad_to,
     )
@@ -109,20 +68,13 @@ def assemble_sharded(hosts, config: IndexConfig, mesh: Mesh) -> ShardedIndex:
     pv = np.zeros((n_shards, nnz_pad), np.float32)
     al = np.zeros((n_shards, d_pad), bool)
     cap_hint = 1
-    for i, (h, (a, d, t, indptr)) in enumerate(zip(hosts, packed)):
-        kind = config.scoring.kind
-        if kind == "tfidf":
-            inv_norm = builder.doc_inv_norms(a, stats, kind)
-        else:
-            inv_norm = np.zeros(h.n_docs, dtype=F32)
-        vals = builder.materialize_vals(
-            d, t.astype(F32), h.dl.astype(F32), inv_norm, config, stats
-        )
-        vals = vals * h.alive[d].astype(F32)  # tombstones -> 0 impact
+    for i, h in enumerate(hosts):
+        vals, _inv_norm = builder.segment_vals(h, config, stats)
+        indptr = h.indptr
         ip[i, : len(indptr)] = indptr
         ip[i, len(indptr) :] = indptr[-1] if len(indptr) else 0
-        pd[i, : len(d)] = d
-        pd[i, len(d) :] = h.n_docs  # sentinel pad doc
+        pd[i, : len(h.post_doc)] = h.post_doc
+        pd[i, len(h.post_doc) :] = h.n_docs  # sentinel pad doc
         pv[i, : len(vals)] = vals
         al[i, : h.n_docs] = h.alive
         if len(indptr) > 1:
@@ -162,8 +114,7 @@ def build_sharded(
     for i in range(n_shards):
         lo, hi = min(i * per, n_docs), min((i + 1) * per, n_docs)
         a = builder.analyze_texts_fast(texts[lo:hi], config)
-        host, _d, _t = _host_from_analyzed(a, lo)
-        hosts.append(host)
+        hosts.append(builder.build_host_segment(a, lo))
     return assemble_sharded(hosts, config, mesh)
 
 
@@ -265,8 +216,10 @@ class DistributedSearchEngine:
             ),
             dl=np.concatenate([last.dl, a_new.dl]),
         )
-        new_last, _d, _t = _host_from_analyzed(merged, last.doc_base)
+        new_last = builder.build_host_segment(merged, last.doc_base)
         new_last.alive[: last.n_docs] = last.alive
+        # df must count alive docs only — the rebuilt shard counted all
+        builder.recompute_alive_df(new_last)
         self.index = assemble_sharded(
             hosts[:-1] + [new_last], self.config, self.mesh
         )

@@ -115,3 +115,26 @@ def test_degenerate_inputs():
         eng.search(["x"], k=0)
     with pytest.raises(ValueError):
         ora.search(["x"], k=-1)
+
+
+def test_clip_saturation_parity():
+    """Regression: the per-contribution overflow clip must be exactly
+    f32-representable, or the device (f32 clip) and oracle (int clip)
+    disagree at the saturation boundary."""
+    from document_search_engine_tpu.oracle import spec
+
+    clip = int(spec.quant_clip_max(32))
+    assert np.float32(clip) == clip  # representable
+    # a rare term repeated many times in the query saturates bm25's clip
+    docs = ["raretoken here"] + [f"filler{i} text" for i in range(400)]
+    cfg = IndexConfig(scoring=ScoringConfig(kind="bm25"))
+    eng = SearchEngine(cfg)
+    eng.build(docs)
+    ora = OracleEngine(cfg)
+    ora.build(docs)
+    q = " ".join(["raretoken"] * 200)
+    ei, es = eng.search([q], k=3)
+    oi, os_ = ora.search([q], k=3)
+    np.testing.assert_array_equal(ei, oi)
+    np.testing.assert_array_equal(es, os_)
+    assert es[0, 0] == clip  # actually saturated

@@ -85,3 +85,24 @@ def test_sharded_incremental_matches_single(corpus, kind):
     d_ids, d_sc = dist.search(queries, k=10)
     np.testing.assert_array_equal(d_ids, r_ids)
     np.testing.assert_array_equal(d_sc, r_sc)
+
+
+@pytest.mark.parametrize("kind", ["tfidf", "bm25"])
+def test_sharded_delete_then_add_matches_single(corpus, kind):
+    """Regression: add_docs after delete_docs must not resurrect
+    tombstoned docs' df counts when rebuilding the last shard."""
+    docs, queries = corpus
+    cfg = IndexConfig(scoring=ScoringConfig(kind=kind))
+    single = SearchEngine(cfg)
+    single.build(docs[:70])
+    dist = DistributedSearchEngine(cfg, mesh=make_mesh(4))
+    dist.build(docs[:70])
+    # delete docs in several shards INCLUDING the last, then add
+    single.delete_docs([2, 40, 65, 69])
+    dist.delete_docs([2, 40, 65, 69])
+    single.add_docs(docs[70:])
+    dist.add_docs(docs[70:])
+    r_ids, r_sc = single.search(queries, k=10)
+    d_ids, d_sc = dist.search(queries, k=10)
+    np.testing.assert_array_equal(d_ids, r_ids)
+    np.testing.assert_array_equal(d_sc, r_sc)
