@@ -6,7 +6,11 @@ host-side; everything array-shaped — sorting triples into CSR, df/dl
 segment-sums — has a jit device path (`device_pack`) used by the sharded
 build, plus a numpy path (`host_pack`) that produces identical arrays
 (tested equal). Weight materialization follows oracle/spec.py exactly so
-the parity gate holds bit-for-bit (DESIGN.md §2-§3).
+the parity gate holds bit-for-bit (DESIGN.md §2-§3). Materializing
+per-posting impact values at build time ("eager sparse scoring") follows
+the BM25S approach (PAPERS.md, arxiv 2407.03618): query time then needs
+only multiplies and integer sums — which is also what makes the
+fixed-point determinism possible.
 """
 from __future__ import annotations
 

@@ -1,8 +1,9 @@
 """TPU-hardware smoke tests — skipped under the CPU test backend.
 
 Run manually on the real chip:
-    python -m pytest tests/test_tpu_smoke.py -q --no-header -p no:cacheprovider
-with JAX_PLATFORMS unset (axon TPU). Validates the two hardware contracts
+    DSE_TPU_TESTS=1 python -m pytest tests/test_tpu_smoke.py -q
+(the env flag stops conftest from forcing the CPU backend). Validates the
+two hardware contracts
 the suite can't check on CPU: lax.top_k tie stability on TPU, and engine
 parity vs the oracle executed on the actual device.
 """
