@@ -1,9 +1,10 @@
 """SearchEngine: the user-facing API (SURVEY.md §1 L6).
 
-build -> search -> add/delete -> save/load over the TPU-native stack:
-host analyzer frontend, device CSR segments, exact fixed-point scorer,
-two-key ranked top-k, multi-segment merge. The sharded multi-chip path
-lives in parallel/dist.py and plugs in via `mesh=`.
+build -> search -> add/delete/compact -> save/load -> hybrid rerank over
+the TPU-native stack: batched host analyzer frontend, device CSR
+segments, mixed-block bucketed packed scorer (ops/packed.py,
+ops/schedule.py), multi-segment merge. The sharded multi-chip engine
+lives in parallel/dist.py.
 """
 from __future__ import annotations
 

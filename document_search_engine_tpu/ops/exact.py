@@ -1,6 +1,7 @@
-"""Exact deterministic scorer: jit slot-scan over the CSR index.
+"""Dense reference scorer: jit slot-scan over the CSR index.
 
-The default scoring path (DESIGN.md §5): for each query slot (= unique
+The bit-exact reference the production packed pipeline (ops/packed.py) is
+cross-tested against: for each query slot (= unique
 query term), gather the term's CSR postings row, quantize each contribution
 to int32 fixed-point (DESIGN.md §2), and scatter-add into dense per-query
 scores. Within a slot each (query, doc) pair receives at most one
