@@ -3,6 +3,7 @@
     python -m document_search_engine_tpu index  <corpus_dir> --out <idx_dir>
     python -m document_search_engine_tpu search <idx_dir> "query text" -k 10
     python -m document_search_engine_tpu eval   [--kind bm25]
+    python -m document_search_engine_tpu bench  (queries/sec/chip, BENCH_* env)
 
 Mirrors the reference's `search(query, k)` + CLI surface (SURVEY.md §2a)
 on top of the TPU engine.
@@ -91,6 +92,21 @@ def cmd_eval(args):
     return 0
 
 
+def cmd_bench(args):
+    import importlib.util
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "bench.py",
+    )
+    spec_ = importlib.util.spec_from_file_location("dse_bench", path)
+    mod = importlib.util.module_from_spec(spec_)
+    spec_.loader.exec_module(mod)
+    mod.main()
+    return 0
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="document_search_engine_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -111,6 +127,9 @@ def main(argv=None):
     pe.add_argument("--kind", default="bm25", choices=["tfidf", "bm25"])
     pe.add_argument("--seed", type=int, default=0)
     pe.set_defaults(fn=cmd_eval)
+
+    pb = sub.add_parser("bench", help="run the throughput benchmark")
+    pb.set_defaults(fn=cmd_bench)
 
     args = p.parse_args(argv)
     from .utils.cache import enable_persistent_cache
