@@ -50,6 +50,119 @@ def save_engine(engine, path: str) -> None:
         )
 
 
+def _save_host(host, fname: str) -> None:
+    np.savez_compressed(
+        fname,
+        term_hash=host.term_hash,
+        df=host.df,
+        doc_base=np.int64(host.doc_base),
+        n_docs=np.int64(host.n_docs),
+        dl=host.dl,
+        alive=host.alive,
+        doc_hashes=host.doc_hashes,
+        doc_tfs=host.doc_tfs,
+        doc_ptr=host.doc_ptr,
+        indptr=host.indptr,
+        host_post_doc=host.post_doc,
+        host_post_tf=host.post_tf,
+    )
+
+
+def _load_host(fname: str):
+    from .csr import SegmentHost
+
+    z = np.load(fname)
+    return SegmentHost(
+        term_hash=z["term_hash"],
+        df=z["df"],
+        doc_base=int(z["doc_base"]),
+        n_docs=int(z["n_docs"]),
+        dl=z["dl"],
+        alive=z["alive"],
+        doc_hashes=z["doc_hashes"],
+        doc_tfs=z["doc_tfs"],
+        doc_ptr=z["doc_ptr"],
+        indptr=z["indptr"],
+        post_doc=z["host_post_doc"],
+        post_tf=z["host_post_tf"],
+    )
+
+
+def save_sharded(engine, path: str) -> None:
+    """Checkpoint a DistributedSearchEngine: config + one host-metadata
+    npz per shard (device arrays are fully derivable — assemble_sharded
+    rebuilds them on load, for ANY mesh size)."""
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "config.json"), "w") as f:
+        f.write(engine.config.to_json())
+    hosts = engine.index.hosts if engine.index else []
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(
+            {"n_shards": len(hosts), "sharded": True, "format_version": 1},
+            f,
+        )
+    for i, h in enumerate(hosts):
+        _save_host(h, os.path.join(path, f"shard_{i}.npz"))
+
+
+def load_sharded(path: str, mesh=None):
+    """Reopen a sharded checkpoint on `mesh` — elastically resharding if
+    the mesh size differs from the saved shard count: docs are
+    re-partitioned into contiguous global-id ranges, alive flags carry
+    over, and df is recounted over alive docs, so results are
+    bit-identical across topologies (tested)."""
+    from ..config import IndexConfig
+    from ..parallel.dist import DistributedSearchEngine, assemble_sharded
+    from ..parallel.mesh import make_mesh
+    from . import builder
+
+    with open(os.path.join(path, "config.json")) as f:
+        config = IndexConfig.from_json(f.read())
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    hosts = [
+        _load_host(os.path.join(path, f"shard_{i}.npz"))
+        for i in range(int(meta["n_shards"]))
+    ]
+    engine = DistributedSearchEngine(config, mesh=mesh or make_mesh())
+    n_shards = engine.mesh.devices.size
+    if n_shards != len(hosts):
+        hosts = _reshard_hosts(hosts, n_shards, builder)
+    engine.index = assemble_sharded(hosts, config, engine.mesh)
+    return engine
+
+
+def _reshard_hosts(hosts, n_shards: int, builder):
+    """Re-split contiguous doc ranges across a new shard count."""
+    hosts = sorted(hosts, key=lambda h: h.doc_base)
+    hashes = np.concatenate([h.doc_hashes for h in hosts])
+    tfs = np.concatenate([h.doc_tfs for h in hosts])
+    dl = np.concatenate([h.dl for h in hosts])
+    alive = np.concatenate([h.alive for h in hosts])
+    ptr_parts = [np.zeros(1, np.int64)]
+    acc = 0
+    for h in hosts:
+        ptr_parts.append(h.doc_ptr[1:] + acc)
+        acc += int(h.doc_ptr[-1])
+    doc_ptr = np.concatenate(ptr_parts)
+    n_docs = len(dl)
+    per = -(-n_docs // n_shards) if n_docs else 1
+    out = []
+    for i in range(n_shards):
+        lo, hi = min(i * per, n_docs), min((i + 1) * per, n_docs)
+        a = builder.AnalyzedDocs(
+            hashes=hashes[doc_ptr[lo] : doc_ptr[hi]],
+            tfs=tfs[doc_ptr[lo] : doc_ptr[hi]],
+            doc_ptr=doc_ptr[lo : hi + 1] - doc_ptr[lo],
+            dl=dl[lo:hi],
+        )
+        h = builder.build_host_segment(a, lo)
+        h.alive[:] = alive[lo:hi]
+        builder.recompute_alive_df(h)
+        out.append(h)
+    return out
+
+
 def load_engine(path: str, engine_cls=None):
     import jax.numpy as jnp
 

@@ -247,6 +247,17 @@ class DistributedSearchEngine:
         if changed:
             self.index = assemble_sharded(hosts, self.config, self.mesh)
 
+    def save(self, path: str) -> None:
+        from ..index.checkpoint import save_sharded
+
+        save_sharded(self, path)
+
+    @classmethod
+    def load(cls, path: str, mesh: Mesh | None = None):
+        from ..index.checkpoint import load_sharded
+
+        return load_sharded(path, mesh=mesh)
+
     def search(self, queries, k: int = 10):
         if k < 1:
             raise ValueError(f"k must be >= 1, got {k}")

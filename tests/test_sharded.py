@@ -106,3 +106,22 @@ def test_sharded_delete_then_add_matches_single(corpus, kind):
     d_ids, d_sc = dist.search(queries, k=10)
     np.testing.assert_array_equal(d_ids, r_ids)
     np.testing.assert_array_equal(d_sc, r_sc)
+
+
+def test_sharded_checkpoint_elastic_reshard(corpus, tmp_path):
+    """Save on a 4-shard mesh, reload on 2 and 8 shards: results must be
+    bit-identical (elastic resharding re-partitions contiguous doc
+    ranges, carries tombstones, and recounts alive df)."""
+    docs, queries = corpus
+    cfg = IndexConfig(scoring=ScoringConfig(kind="bm25"))
+    dist = DistributedSearchEngine(cfg, mesh=make_mesh(4))
+    dist.build(docs)
+    dist.delete_docs([1, 30, 88])
+    ref_ids, ref_sc = dist.search(queries, k=10)
+    path = str(tmp_path / "sharded_idx")
+    dist.save(path)
+    for n in (2, 4, 8):
+        re = DistributedSearchEngine.load(path, mesh=make_mesh(n))
+        ids, sc = re.search(queries, k=10)
+        np.testing.assert_array_equal(ids, ref_ids, err_msg=f"{n} shards")
+        np.testing.assert_array_equal(sc, ref_sc, err_msg=f"{n} shards")
