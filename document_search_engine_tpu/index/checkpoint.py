@@ -120,6 +120,10 @@ def load_sharded(path: str, mesh=None):
         config = IndexConfig.from_json(f.read())
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
+    if meta.get("format_version", 0) != 1 or not meta.get("sharded"):
+        raise ValueError(
+            "not a sharded checkpoint (open with SearchEngine.load?)"
+        )
     hosts = [
         _load_host(os.path.join(path, f"shard_{i}.npz"))
         for i in range(int(meta["n_shards"]))
@@ -176,6 +180,15 @@ def load_engine(path: str, engine_cls=None):
         config = IndexConfig.from_json(f.read())
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
+    if meta.get("format_version", 0) != 1:
+        raise ValueError(
+            f"unsupported index format_version {meta.get('format_version')}"
+        )
+    if meta.get("sharded"):
+        raise ValueError(
+            "this is a sharded checkpoint — open it with "
+            "DistributedSearchEngine.load"
+        )
     engine = engine_cls(config)
     engine.n_docs_total = int(meta["n_docs_total"])
     for i in range(int(meta["n_segments"])):

@@ -133,3 +133,26 @@ def test_prof_utils():
     rec = _json.loads(prof.metrics_json(extra_field=1))
     assert set(rec["phases_s"]) == {"build", "search"}
     assert rec["extra_field"] == 1
+
+
+def test_checkpoint_format_guards(tmp_path):
+    import json as _json
+
+    import pytest as _pytest
+
+    from document_search_engine_tpu.parallel.dist import (
+        DistributedSearchEngine,
+    )
+
+    eng, docs, _q = _engine_and_queries()
+    p1 = str(tmp_path / "plain")
+    eng.save(p1)
+    # wrong loader for the checkpoint kind
+    with _pytest.raises(ValueError):
+        DistributedSearchEngine.load(p1)
+    # future format version rejected cleanly
+    meta = _json.load(open(f"{p1}/meta.json"))
+    meta["format_version"] = 99
+    _json.dump(meta, open(f"{p1}/meta.json", "w"))
+    with _pytest.raises(ValueError):
+        SearchEngine.load(p1)
