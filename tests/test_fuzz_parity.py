@@ -138,3 +138,47 @@ def test_clip_saturation_parity():
     np.testing.assert_array_equal(ei, oi)
     np.testing.assert_array_equal(es, os_)
     assert es[0, 0] == clip  # actually saturated
+
+
+@pytest.mark.parametrize("seed", [707, 808])
+def test_fuzz_sharded_random_ops(seed):
+    """Random op sequences on the sharded engine must stay bit-identical
+    to the single-device engine (which is itself oracle-gated)."""
+    from document_search_engine_tpu.parallel.dist import (
+        DistributedSearchEngine,
+    )
+    from document_search_engine_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(seed)
+    kind = str(rng.choice(["tfidf", "bm25"]))
+    cfg = IndexConfig(scoring=ScoringConfig(kind=kind))
+    docs = synth_corpus(
+        n_docs=int(rng.integers(40, 100)),
+        vocab_size=int(rng.integers(150, 600)),
+        mean_len=int(rng.integers(15, 60)),
+        seed=seed,
+    )
+    queries = synth_queries(docs, 8, 5, seed=seed + 1) + [""]
+    single = SearchEngine(cfg)
+    dist = DistributedSearchEngine(
+        cfg, mesh=make_mesh(int(rng.choice([2, 3, 4, 8])))
+    )
+    n0 = int(rng.integers(20, len(docs)))
+    single.build(docs[:n0])
+    dist.build(docs[:n0])
+    for step in range(3):
+        op = rng.choice(["add", "delete", "search"])
+        if op == "add" and n0 < len(docs):
+            hi = min(len(docs), n0 + int(rng.integers(1, 15)))
+            single.add_docs(docs[n0:hi])
+            dist.add_docs(docs[n0:hi])
+            n0 = hi
+        elif op == "delete":
+            ids = rng.integers(0, n0, size=rng.integers(1, 5)).tolist()
+            single.delete_docs(ids)
+            dist.delete_docs(ids)
+        k = int(rng.integers(1, 20))
+        si, ss = single.search(queries, k=k)
+        di, ds = dist.search(queries, k=k)
+        np.testing.assert_array_equal(di, si, err_msg=f"step {step} {op}")
+        np.testing.assert_array_equal(ds, ss, err_msg=f"step {step} {op}")
