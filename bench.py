@@ -141,16 +141,14 @@ def main():
     post_doc = jnp.concatenate(dchunks)[:nnz_pad]
     post_val = jnp.concatenate(vchunks)[:nnz_pad]
     del dchunks, vchunks
-    if use_pallas:
-        @jax.jit
-        def to_rec(d, v):
-            return jnp.stack(
-                [d, jax.lax.bitcast_convert_type(v, jnp.int32)], axis=1
-            )
-        post_rec = to_rec(post_doc, post_val)
-        _ = np.asarray(post_rec[0, :1])
-    else:
-        _ = np.asarray(post_doc[:1])
+    @jax.jit
+    def to_rec(d, v):
+        return jnp.stack(
+            [d, jax.lax.bitcast_convert_type(v, jnp.int32)], axis=1
+        )
+
+    post_rec = to_rec(post_doc, post_val)
+    _ = np.asarray(post_rec[0, :1])
     log(f"index gen (device): {time.perf_counter()-t0:.1f}s")
 
     # queries over mid-frequency terms (engines drop stopword-level terms)
@@ -221,11 +219,11 @@ def main():
             meta = [(b[2], b[3]) for b in buckets]
 
             @jax.jit
-            def fused(pd, pv, ip, rs, cs):
+            def fused(pr, ip, rs, cs):
                 # all buckets inside one XLA program: one dispatch/batch
                 outs = [
                     search_packed_ds(
-                        pd, pv, ip, r, a, scale, clip, jnp.int32(0),
+                        pr, ip, r, a, scale, clip, jnp.int32(0),
                         n_blocks=nb, k=k, n_docs=n_docs, block=blk,
                     )
                     for (r, a), (nb, blk) in zip(zip(rs, cs), meta)
@@ -237,7 +235,7 @@ def main():
 
             br = tuple(b[0] for b in buckets)
             bc = tuple(b[1] for b in buckets)
-            return lambda r, c: fused(post_doc, post_val, indptr_d, br, bc)
+            return lambda r, c: fused(post_rec, indptr_d, br, bc)
 
         step = make_step(
             None if os.environ.get("BENCH_DS_BLOCK", "") == "" else ds_block

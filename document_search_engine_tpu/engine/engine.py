@@ -195,11 +195,12 @@ class SearchEngine:
             return cache[dim]
         emb = np.zeros((self.n_docs_total, dim), dtype=F32)
         for host, device in self.segments:
+            rec = np.asarray(device.post_rec)
             e = doc_embeddings(
                 host.term_hash,
                 host.indptr,
-                np.asarray(device.post_doc),
-                np.asarray(device.post_val),
+                rec[:, 0],
+                rec[:, 1].view(np.float32),
                 host.n_docs,
                 dim,
             )
@@ -306,8 +307,7 @@ class SearchEngine:
                 r_sub[: len(idx)] = rows[idx]
                 a_sub[: len(idx)] = a_seg[idx]
                 v, g = search_packed_ds(
-                    device.post_doc,
-                    device.post_val,
+                    device.post_rec,
                     device.indptr,
                     r_sub,
                     a_sub,

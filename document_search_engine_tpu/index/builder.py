@@ -319,16 +319,25 @@ def refresh_segment_vals(
     """
     vals, inv_norm = segment_vals(host, config, stats)
     d_pad = device.n_docs_pad
-    nnz_pad = int(device.post_val.shape[0])
+    nnz_pad = int(device.post_rec.shape[0])
     return SegmentDevice(
         indptr=device.indptr,
-        post_doc=device.post_doc,
-        post_tf=device.post_tf,
-        post_val=jnp.asarray(_pad(vals, nnz_pad, 0, np.float32)),
+        post_rec=jnp.asarray(
+            _make_rec(host.post_doc, vals, nnz_pad, host.n_docs)
+        ),
         dl=device.dl,
         alive=jnp.asarray(_pad(host.alive, d_pad, False, bool)),
         inv_norm=jnp.asarray(_pad(inv_norm, d_pad, 0, np.float32)),
     )
+
+
+def _make_rec(post_doc, vals, nnz_pad: int, sentinel_doc: int):
+    """(nnz_pad, 2) int32 interleaved [doc, bitcast(val)] records."""
+    rec = np.zeros((nnz_pad, 2), np.int32)
+    rec[:, 0] = sentinel_doc
+    rec[: len(post_doc), 0] = post_doc
+    rec[: len(vals), 1] = np.asarray(vals, np.float32).view(np.int32)
+    return rec
 
 
 def _pad(a, size, fill, dtype):
@@ -363,9 +372,9 @@ def pack_device_segment(
 
     return SegmentDevice(
         indptr=jnp.asarray(host.indptr),
-        post_doc=jnp.asarray(_pad(host.post_doc, nnz_pad, n_docs, np.int32)),
-        post_tf=jnp.asarray(_pad(host.post_tf, nnz_pad, 0, np.float32)),
-        post_val=jnp.asarray(_pad(vals, nnz_pad, 0, np.float32)),
+        post_rec=jnp.asarray(
+            _make_rec(host.post_doc, vals, nnz_pad, n_docs)
+        ),
         dl=jnp.asarray(_pad(host.dl.astype(F32), d_pad, 0, np.float32)),
         alive=jnp.asarray(_pad(host.alive, d_pad, False, bool)),
         inv_norm=jnp.asarray(_pad(inv_norm, d_pad, 0, np.float32)),

@@ -41,9 +41,9 @@ def save_engine(engine, path: str) -> None:
             doc_tfs=host.doc_tfs,
             doc_ptr=host.doc_ptr,
             indptr=host.indptr,
-            post_doc=np.asarray(device.post_doc),
-            post_tf=np.asarray(device.post_tf),
-            post_val=np.asarray(device.post_val),
+            post_doc=host.post_doc,
+            post_tf=host.post_tf,
+            post_rec=np.asarray(device.post_rec),
             dev_dl=np.asarray(device.dl),
             dev_alive=np.asarray(device.alive),
             dev_inv_norm=np.asarray(device.inv_norm),
@@ -193,7 +193,6 @@ def load_engine(path: str, engine_cls=None):
     engine.n_docs_total = int(meta["n_docs_total"])
     for i in range(int(meta["n_segments"])):
         z = np.load(os.path.join(path, f"segment_{i}.npz"))
-        nnz = int(z["indptr"][-1]) if len(z["indptr"]) else 0
         host = SegmentHost(
             term_hash=z["term_hash"],
             df=z["df"],
@@ -205,14 +204,12 @@ def load_engine(path: str, engine_cls=None):
             doc_tfs=z["doc_tfs"],
             doc_ptr=z["doc_ptr"],
             indptr=z["indptr"],
-            post_doc=z["post_doc"][:nnz],
-            post_tf=z["post_tf"][:nnz].astype(np.int32),
+            post_doc=z["post_doc"],
+            post_tf=z["post_tf"].astype(np.int32),
         )
         device = SegmentDevice(
             indptr=jnp.asarray(z["indptr"]),
-            post_doc=jnp.asarray(z["post_doc"]),
-            post_tf=jnp.asarray(z["post_tf"]),
-            post_val=jnp.asarray(z["post_val"]),
+            post_rec=jnp.asarray(z["post_rec"]),
             dl=jnp.asarray(z["dev_dl"]),
             alive=jnp.asarray(z["dev_alive"]),
             inv_norm=jnp.asarray(z["dev_inv_norm"]),

@@ -62,9 +62,10 @@ class SegmentDevice:
     """
 
     indptr: jnp.ndarray  # (T+1,) int32
-    post_doc: jnp.ndarray  # (nnz_pad,) int32
-    post_tf: jnp.ndarray  # (nnz_pad,) float32 — raw tf, immutable
-    post_val: jnp.ndarray  # (nnz_pad,) float32 — materialized impact
+    # interleaved postings records [doc_id, bitcast(f32 impact val)]:
+    # one dynamic_slice per block fetches both (the raw tf stays host-side
+    # in SegmentHost.post_tf; vals fold tombstones to 0)
+    post_rec: jnp.ndarray  # (nnz_pad, 2) int32
     dl: jnp.ndarray  # (D_pad,) float32
     alive: jnp.ndarray  # (D_pad,) bool
     inv_norm: jnp.ndarray  # (D_pad,) float32 (tfidf; zeros for bm25)

@@ -37,8 +37,7 @@ class ShardedIndex:
     """Stacked per-shard CSR arrays; axis 0 is the `docs` mesh axis."""
 
     indptr: jnp.ndarray  # (n_shards, T_pad+1) i32
-    post_doc: jnp.ndarray  # (n_shards, nnz_pad) i32
-    post_val: jnp.ndarray  # (n_shards, nnz_pad) f32
+    post_rec: jnp.ndarray  # (n_shards, nnz_pad, 2) i32 [doc, bitcast(val)]
     alive: jnp.ndarray  # (n_shards, D_pad) bool
     doc_base: jnp.ndarray  # (n_shards, 1) i32
     hosts: list  # per-shard SegmentHost (numpy metadata)
@@ -64,8 +63,7 @@ def assemble_sharded(hosts, config: IndexConfig, mesh: Mesh) -> ShardedIndex:
     d_pad = round_up(max(h.n_docs for h in hosts) + 1, config.docs_pad_to)
 
     ip = np.zeros((n_shards, t_pad + 1), np.int32)
-    pd = np.zeros((n_shards, nnz_pad), np.int32)
-    pv = np.zeros((n_shards, nnz_pad), np.float32)
+    pr = np.zeros((n_shards, nnz_pad, 2), np.int32)
     al = np.zeros((n_shards, d_pad), bool)
     cap_hint = 1
     for i, h in enumerate(hosts):
@@ -73,9 +71,7 @@ def assemble_sharded(hosts, config: IndexConfig, mesh: Mesh) -> ShardedIndex:
         indptr = h.indptr
         ip[i, : len(indptr)] = indptr
         ip[i, len(indptr) :] = indptr[-1] if len(indptr) else 0
-        pd[i, : len(h.post_doc)] = h.post_doc
-        pd[i, len(h.post_doc) :] = h.n_docs  # sentinel pad doc
-        pv[i, : len(vals)] = vals
+        pr[i] = builder._make_rec(h.post_doc, vals, nnz_pad, h.n_docs)
         al[i, : h.n_docs] = h.alive
         if len(indptr) > 1:
             cap_hint = max(cap_hint, int(np.diff(indptr).max()))
@@ -83,8 +79,7 @@ def assemble_sharded(hosts, config: IndexConfig, mesh: Mesh) -> ShardedIndex:
     shard0 = NamedSharding(mesh, P(DOCS_AXIS))
     return ShardedIndex(
         indptr=jax.device_put(ip, shard0),
-        post_doc=jax.device_put(pd, shard0),
-        post_val=jax.device_put(pv, shard0),
+        post_rec=jax.device_put(pr, shard0),
         alive=jax.device_put(al, shard0),
         doc_base=jax.device_put(
             np.array(
@@ -124,8 +119,7 @@ def build_sharded(
 )
 def _sharded_search_step(
     indptr,
-    post_doc,
-    post_val,
+    post_rec,
     doc_base,
     rows,
     coeff,
@@ -139,13 +133,13 @@ def _sharded_search_step(
     """One SPMD search step (DESIGN.md §5): runs identically on every
     shard; output is the replicated global top-k."""
 
-    def local(ip, pd, pv, base, r, a):
-        ip, pd, pv = ip[0], pd[0], pv[0]
+    def local(ip, pr, base, r, a):
+        ip, pr = ip[0], pr[0]
         r, a = r[0], a[0]
         # d_pad-1 is a safe uniform local sentinel: every shard's real
         # local ids are <= d_pad-2 (d_pad >= max local docs + 1).
         vals, gids = search_packed_ds(
-            pd, pv, ip, r, a, scale, clip, base[0, 0],
+            pr, ip, r, a, scale, clip, base[0, 0],
             n_blocks=cap, k=k, n_docs=d_pad - 1, block=512,
         )
         # ICI boundary: gather every shard's candidates, merge everywhere.
@@ -164,9 +158,9 @@ def _sharded_search_step(
     vals_all, gids_all = shard_map(
         local,
         mesh=mesh_,
-        in_specs=(sh, sh, sh, sh, sh, sh),
+        in_specs=(sh, sh, sh, sh, sh),
         out_specs=(sh, sh),
-    )(indptr, post_doc, post_val, doc_base, rows, coeff)
+    )(indptr, post_rec, doc_base, rows, coeff)
     # (n_shards, nq, k) of identical replicas -> one copy.
     return vals_all[0], gids_all[0]
 
@@ -299,8 +293,7 @@ class DistributedSearchEngine:
             a_sub[:, : len(idx_q)] = coeffs[:, idx_q]
             vals, gids = _sharded_search_step(
                 idx.indptr,
-                idx.post_doc,
-                idx.post_val,
+                idx.post_rec,
                 idx.doc_base,
                 jax.device_put(r_sub, shard0),
                 jax.device_put(a_sub, shard0),

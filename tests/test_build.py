@@ -54,8 +54,8 @@ def test_build_segment_csr_roundtrip():
     assert host.n_docs == 3
     T = host.n_terms
     indptr = np.asarray(dev.indptr)
-    post_doc = np.asarray(dev.post_doc)
-    post_tf = np.asarray(dev.post_tf)
+    post_doc = np.asarray(dev.post_rec)[:, 0]
+    post_tf = host.post_tf  # raw tf lives host-side
     # reconstruct dense matrix and check tf counts
     dense = np.zeros((T, 3))
     for t in range(T):

@@ -184,8 +184,9 @@ def test_packed_ds_matches_packed():
             jnp.int32(100), c_total=c, k=15, n_docs=n_docs,
         )
         nb = block_plan(indptr, rows, found, block=blocksize)
+        rec = np.stack([pd, pv.view(np.int32)], axis=1)
         got = search_packed_ds(
-            jnp.asarray(pd), jnp.asarray(pv), jnp.asarray(indptr),
+            jnp.asarray(rec), jnp.asarray(indptr),
             jnp.asarray(rows), jnp.asarray(coeff), scale, clip,
             jnp.int32(100), n_blocks=nb, k=15, n_docs=n_docs,
             block=blocksize,
