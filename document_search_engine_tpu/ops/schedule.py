@@ -24,29 +24,40 @@ def blocks_per_query(
     return (-(-lens // block)).sum(axis=1)
 
 
+# (threshold, block): queries whose total postings are <= threshold use
+# that block size; tuned on the dev chip — this 2-family split beats any
+# uniform block by ~25% and a finer 4-family split by ~10% (more
+# sub-programs and tiny slices cost more than the padding they save).
+DEFAULT_FAMILIES = ((8192, 256), (None, 1024))
+
+
 def plan_batch(
     indptr: np.ndarray,
     rows: np.ndarray,
     found: np.ndarray,
-    fine: int = 256,
-    coarse: int = 1024,
-    threshold: int = 8192,
+    families=DEFAULT_FAMILIES,
 ):
-    """Two-family mixed-block schedule: queries touching few postings use
-    fine blocks (less per-slot ceil padding — the dominant population
-    under Zipf), heavy queries use coarse blocks (fewer slices).
+    """Mixed-block schedule: light queries use fine blocks (less per-slot
+    ceil padding — the dominant population under Zipf), heavy queries use
+    coarse blocks (fewer slices). Families are (total-postings threshold,
+    block size), last threshold None = rest.
 
     Returns [(query_indices, n_blocks, block_size)] covering every query
     exactly once.
     """
     nq = rows.shape[0]
     if len(indptr) < 2 or rows.size == 0:
-        return [(np.arange(nq), 1, fine)] if nq else []
+        return [(np.arange(nq), 1, families[0][1])] if nq else []
     lens = (indptr[rows + 1] - indptr[rows]) * found
     totals = lens.sum(axis=1)
     plans = []
-    small = totals <= threshold
-    for fam, blk in ((small, fine), (~small, coarse)):
+    assigned = np.zeros(nq, bool)
+    for threshold, blk in families:
+        if threshold is None:
+            fam = ~assigned
+        else:
+            fam = (totals <= threshold) & ~assigned
+        assigned |= fam
         idx_f = np.nonzero(fam)[0]
         if not len(idx_f):
             continue
