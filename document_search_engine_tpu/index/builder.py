@@ -25,7 +25,13 @@ from ..analyze.hashing import TermHasher
 from ..analyze.tokenizer import Tokenizer
 from ..config import IndexConfig
 from ..oracle import spec
-from .csr import GlobalStats, SegmentDevice, SegmentHost, round_up
+from .csr import (
+    NNZ_SLICE_MARGIN,
+    GlobalStats,
+    SegmentDevice,
+    SegmentHost,
+    round_up,
+)
 
 F32 = np.float32
 
@@ -359,10 +365,13 @@ def pack_device_segment(
     n_docs = host.n_docs
     d_pad = round_up(n_docs + 1, config.docs_pad_to)
     nnz = len(host.post_doc)
-    # +2048 margin: the dynamic-slice packing path (ops/packed.py
+    # margin: the dynamic-slice packing path (ops/packed.py
     # search_packed_ds) reads whole blocks past a row's end; the margin
     # guarantees tail blocks stay inside the array without clamping.
-    nnz_pad = max(round_up(nnz + 2048, config.nnz_pad_to), config.nnz_pad_to)
+    nnz_pad = max(
+        round_up(nnz + NNZ_SLICE_MARGIN, config.nnz_pad_to),
+        config.nnz_pad_to,
+    )
 
     if materialize:
         vals, inv_norm = segment_vals(host, config, stats)

@@ -129,6 +129,8 @@ def load_sharded(path: str, mesh=None):
         for i in range(int(meta["n_shards"]))
     ]
     engine = DistributedSearchEngine(config, mesh=mesh or make_mesh())
+    if not hosts:  # checkpoint of a never-built engine
+        return engine
     n_shards = engine.mesh.devices.size
     if n_shards != len(hosts):
         hosts = _reshard_hosts(hosts, n_shards, builder)

@@ -18,6 +18,13 @@ def round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m if m > 1 else x
 
 
+# Builders pad post_rec to nnz + NNZ_SLICE_MARGIN so block-aligned
+# dynamic_slice/DMA packing (ops/packed.py, ops/pack_pallas.py) can read
+# whole blocks past a row's end without clamping. Any packing block size
+# must be <= this margin — asserted at the kernel entry points.
+NNZ_SLICE_MARGIN = 2048
+
+
 @dataclass
 class SegmentHost:
     """Host-resident segment metadata."""

@@ -151,8 +151,16 @@ def search_packed_ds(
     Destination regions are block-aligned per slot; requires
     nnz_pad >= nnz + block so tail blocks stay in bounds.
     Bit-identical to search_packed (tested)."""
+    from ..index.csr import NNZ_SLICE_MARGIN
     from .pack_pallas import _src_table
 
+    # Builders pad post_rec by NNZ_SLICE_MARGIN; a bigger block would make
+    # _src_table clamp tail-block sources, silently misaligning that block
+    # while its lanes stay marked valid. Fail loudly instead.
+    assert block <= NNZ_SLICE_MARGIN, (
+        f"block={block} exceeds the builder's nnz slice margin "
+        f"({NNZ_SLICE_MARGIN}); tail blocks would read clamped sources"
+    )
     nq, s = rows.shape
     starts = indptr[rows]
     lens = indptr[rows + 1] - starts

@@ -2,9 +2,9 @@
 
 Ranking order is (score desc, doc id asc) — implemented as a two-key
 lexicographic `lax.sort` on (-score, id), which is exact on every backend
-(plain `lax.top_k` tie order is not guaranteed on all backends). The Pallas
-per-shard partial top-k (ops/topk_pallas.py) replaces the full sort on the
-hot path; this module remains the reference and the merge step.
+(plain `lax.top_k` tie order is not guaranteed on all backends). This
+module is the dense reference ranker and the candidate-merge step; the
+production packed hot path ranks inside ops/packed.py / ops/rank_pallas.py.
 """
 from __future__ import annotations
 

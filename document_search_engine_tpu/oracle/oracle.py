@@ -146,6 +146,11 @@ class OracleEngine:
                 if not plist:
                     continue
                 for d, tf in plist.items():
+                    # Dead docs keep their postings until the engine is
+                    # rebuilt; they must not score (and, for tfidf, have no
+                    # refreshed inv_norm — iterating them would KeyError).
+                    if not self.alive.get(d, False):
+                        continue
                     if cfg.kind == "tfidf":
                         val = spec.val_tfidf(
                             np.int64(tf), self._inv_norm[d]

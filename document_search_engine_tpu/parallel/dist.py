@@ -22,7 +22,12 @@ from jax import shard_map
 from ..config import IndexConfig
 from ..engine.query import QueryFrontend, segment_rows
 from ..index import builder
-from ..index.csr import GlobalStats, merge_stats, round_up
+from ..index.csr import (
+    NNZ_SLICE_MARGIN,
+    GlobalStats,
+    merge_stats,
+    round_up,
+)
 from ..ops.schedule import blocks_per_query, bucket_queries
 from ..ops.packed import search_packed_ds
 from ..ops.topk import merge_candidates
@@ -56,7 +61,8 @@ def assemble_sharded(hosts, config: IndexConfig, mesh: Mesh) -> ShardedIndex:
     t_pad = max(h.n_terms for h in hosts)
     nnz_pad = max(
         round_up(
-            max(len(h.post_doc) for h in hosts) + 2048, config.nnz_pad_to
+            max(len(h.post_doc) for h in hosts) + NNZ_SLICE_MARGIN,
+            config.nnz_pad_to,
         ),
         config.nnz_pad_to,
     )

@@ -70,6 +70,18 @@ def test_delete_and_df_update():
     assert ids[0, 0] == 1
 
 
+def test_delete_before_first_search():
+    # Regression: deleting before any search left the dead doc's postings
+    # iterable with no refreshed inv_norm -> KeyError (tfidf).
+    for kind in ("tfidf", "bm25"):
+        eng = OracleEngine(IndexConfig(scoring=ScoringConfig(kind=kind)))
+        eng.build(["red fish", "red dog", "blue fish"])
+        eng.delete_docs([0])
+        ids, scores = eng.search(["red fish"], k=3)
+        assert 0 not in ids[0].tolist(), kind
+        assert ids[0, 0] >= 0
+
+
 def test_empty_and_unknown_query():
     eng = OracleEngine()
     eng.build(["alpha beta", "gamma delta"])

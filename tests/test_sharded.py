@@ -125,3 +125,16 @@ def test_sharded_checkpoint_elastic_reshard(corpus, tmp_path):
         ids, sc = re.search(queries, k=10)
         np.testing.assert_array_equal(ids, ref_ids, err_msg=f"{n} shards")
         np.testing.assert_array_equal(sc, ref_sc, err_msg=f"{n} shards")
+
+
+def test_sharded_checkpoint_empty_engine(tmp_path):
+    """Regression: saving a never-built engine and reloading on any mesh
+    must round-trip to an empty engine, not crash in resharding."""
+    cfg = IndexConfig(scoring=ScoringConfig(kind="bm25"))
+    dist = DistributedSearchEngine(cfg, mesh=make_mesh(4))
+    path = str(tmp_path / "empty_idx")
+    dist.save(path)
+    re = DistributedSearchEngine.load(path, mesh=make_mesh(2))
+    assert re.index is None
+    ids, sc = re.search(["anything"], k=5)
+    assert (ids == -1).all() and (sc == -1).all()
