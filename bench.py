@@ -218,6 +218,8 @@ def main():
             )
             meta = [(b[2], b[3]) for b in buckets]
 
+            rank_pallas = os.environ.get("BENCH_RANK", "xla") == "pallas"
+
             @jax.jit
             def fused(pr, ip, rs, cs):
                 # all buckets inside one XLA program: one dispatch/batch
@@ -225,6 +227,7 @@ def main():
                     search_packed_ds(
                         pr, ip, r, a, scale, clip, jnp.int32(0),
                         n_blocks=nb, k=k, n_docs=n_docs, block=blk,
+                        use_rank_pallas=rank_pallas,
                     )
                     for (r, a), (nb, blk) in zip(zip(rs, cs), meta)
                 ]

