@@ -112,6 +112,10 @@ class SearchEngine:
         # None = auto (Pallas rank kernel on TPU, XLA elsewhere); both
         # produce bit-identical results (tests/test_rank_pallas.py)
         self.use_rank_pallas: bool | None = None
+        # jit device-side CSR pack + value materialization (the
+        # BASELINE.json:5 "index build is itself a jit-compiled batch
+        # job"); the host build remains as the tested-equal fallback
+        self.device_build: bool = True
 
     # ------------------------------------------------------------- build
     def build(self, texts) -> None:
@@ -131,9 +135,7 @@ class SearchEngine:
         with prof.phase("build.analyze"):
             analyzed = builder.analyze_texts_fast(texts, self.config)
         doc_base = self.n_docs_total
-        host, device = builder.build_segment(
-            analyzed, self.config, doc_base=doc_base, materialize=False
-        )
+        host, device = self._build_segment(analyzed, doc_base)
         self.segments.append([host, device])
         self.n_docs_total += host.n_docs
         self._refresh_stats_and_vals()
@@ -151,13 +153,22 @@ class SearchEngine:
             if not batch:
                 continue
             analyzed = builder.analyze_texts_fast(batch, self.config)
-            host, device = builder.build_segment(
-                analyzed, self.config, doc_base=self.n_docs_total,
-                materialize=False,
-            )
+            host, device = self._build_segment(analyzed, self.n_docs_total)
             self.segments.append([host, device])
             self.n_docs_total += host.n_docs
         self._refresh_stats_and_vals()
+
+    def _build_segment(self, analyzed, doc_base: int):
+        """One segment build: jit device CSR pack + materialization by
+        default; host numpy pack when device_build is off (both produce
+        bit-identical indexes — tested)."""
+        if self.device_build:
+            return builder.build_segment_device(
+                analyzed, self.config, doc_base=doc_base
+            )
+        return builder.build_segment(
+            analyzed, self.config, doc_base=doc_base, materialize=False
+        )
 
     def _refresh_stats_and_vals(self) -> None:
         """Re-merge global stats; re-materialize df/avgdl-dependent device
@@ -229,9 +240,7 @@ class SearchEngine:
             doc_ptr=ptr,
             dl=dl,
         )
-        host, device = builder.build_segment(
-            analyzed, self.config, doc_base=0, materialize=False
-        )
+        host, device = self._build_segment(analyzed, 0)
         host.alive[dead] = False
         self.segments = [[host, device]]
         self._refresh_stats_and_vals()

@@ -164,6 +164,53 @@ def device_pack(rows, docs, tfs, n_terms: int, n_docs: int):
     return r, d, t, indptr, df, dl
 
 
+@partial(jax.jit, static_argnames=("kind",))
+def device_materialize_rec(
+    post_doc: jnp.ndarray,  # (nnz_pad,) i32 — sentinel n_docs in padding
+    post_tf: jnp.ndarray,  # (nnz_pad,) i32 — 0 in padding
+    k_doc: jnp.ndarray,  # (d_pad,) f32 — bm25 per-doc K(dl) = c0 + c1*dl,
+    #                      computed ON HOST in spec order (see below)
+    inv_norm: jnp.ndarray,  # (d_pad,) f32 (tfidf; ignored for bm25)
+    alive: jnp.ndarray,  # (d_pad,) bool
+    k1p1: jnp.ndarray,  # f32 scalar — bm25 numerator factor (k1 + 1)
+    kind: str,
+):
+    """jit re-materialization of the interleaved [doc, bitcast(val)]
+    posting records from device-resident inputs — the O(delta) refresh
+    path: after df/N/avgdl change, only the small per-doc arrays
+    (k_doc/inv_norm/alive) move host->device; the O(nnz) postings never
+    do.
+
+    Bit-parity note: K(dl) = c0 + c1*dl is deliberately computed on HOST
+    (numpy, exactly-rounded f32 mul then add). XLA compiles with excess
+    precision allowed and contracts an on-device c0 + c1*dl into an FMA
+    (even across jax.lax.optimization_barrier — the contraction happens
+    in the backend below HLO), drifting 1 ulp off oracle/spec.py's
+    val_bm25 and breaking the bit-parity gate. The remaining device ops
+    (gather, add, mul, div) have no mul->add pair to contract and are
+    exactly rounded — tested equal in tests/test_build.py.
+    """
+    tff = post_tf.astype(jnp.float32)
+    if kind == "tfidf":
+        val = tff * inv_norm[post_doc]
+    else:  # bm25: val = (tf*(k1+1)) / (tf + K[doc])
+        val = (tff * k1p1) / (tff + k_doc[post_doc])
+    val = val * alive[post_doc].astype(jnp.float32)
+    return jnp.stack(
+        [post_doc, jax.lax.bitcast_convert_type(val, jnp.int32)], axis=1
+    )
+
+
+def host_k_doc(dl: np.ndarray, config: IndexConfig, stats: GlobalStats):
+    """(n_docs,) f32 bm25 K(dl) = c0 + c1*dl in spec op order (the same
+    f32 values spec.val_bm25 derives per posting)."""
+    avgdl = spec.avgdl_of(stats.total_len_alive, stats.n_alive)
+    c0, c1 = spec.bm25_len_coeffs(
+        config.scoring.k1, config.scoring.b, avgdl
+    )
+    return (c0 + c1 * dl.astype(F32)).astype(F32)
+
+
 def doc_inv_norms(
     analyzed: AnalyzedDocs, stats: GlobalStats, kind: str, chunk: int = 4096
 ) -> np.ndarray:
@@ -319,21 +366,61 @@ def refresh_segment_vals(
 ) -> SegmentDevice:
     """Re-materialize idf/avgdl-dependent device values after df/N change
     (incremental add/delete, DESIGN.md §4). Postings (doc, tf) and CSR
-    structure are immutable; only inv_norm/post_val/alive are rebuilt,
-    from the host CSR copies — so an incrementally updated index scores
-    identically to a fresh rebuild, with no re-sort or device pull.
+    structure are immutable; only inv_norm/post_val/alive are rebuilt —
+    so an incrementally updated index scores identically to a fresh
+    rebuild.
+
+    Production path is O(delta) in host<->device traffic: vals are
+    recomputed ON DEVICE from the resident (doc, tf) arrays
+    (device_materialize_rec); only the small per-doc alive/inv_norm
+    arrays move. The O(nnz) host rebuild remains as fallback for legacy
+    checkpoints without a device tf array (bit-identical — tested).
     """
-    vals, inv_norm = segment_vals(host, config, stats)
     d_pad = device.n_docs_pad
-    nnz_pad = int(device.post_rec.shape[0])
+    if device.post_tf is None:  # legacy checkpoint: host re-materialize
+        vals, inv_norm = segment_vals(host, config, stats)
+        nnz_pad = int(device.post_rec.shape[0])
+        return SegmentDevice(
+            indptr=device.indptr,
+            post_rec=jnp.asarray(
+                _make_rec(host.post_doc, vals, nnz_pad, host.n_docs)
+            ),
+            dl=device.dl,
+            alive=jnp.asarray(_pad(host.alive, d_pad, False, bool)),
+            inv_norm=jnp.asarray(_pad(inv_norm, d_pad, 0, np.float32)),
+        )
+    kind = config.scoring.kind
+    if kind == "tfidf":
+        analyzed = AnalyzedDocs(
+            hashes=host.doc_hashes,
+            tfs=host.doc_tfs,
+            doc_ptr=host.doc_ptr,
+            dl=host.dl,
+        )
+        inv_norm = doc_inv_norms(analyzed, stats, kind)
+    else:
+        inv_norm = np.zeros(host.n_docs, dtype=F32)
+    inv_d = jnp.asarray(_pad(inv_norm, d_pad, 0, np.float32))
+    alive_d = jnp.asarray(_pad(host.alive, d_pad, False, bool))
+    k_doc = jnp.asarray(
+        _pad(host_k_doc(host.dl, config, stats), d_pad, 0, np.float32)
+    )
+    rec = device_materialize_rec(
+        device.post_rec[:, 0],
+        device.post_tf,
+        k_doc,
+        inv_d,
+        alive_d,
+        jnp.float32(F32(config.scoring.k1 + 1.0)),
+        kind=kind,
+    )
     return SegmentDevice(
         indptr=device.indptr,
-        post_rec=jnp.asarray(
-            _make_rec(host.post_doc, vals, nnz_pad, host.n_docs)
-        ),
+        post_rec=rec,
         dl=device.dl,
-        alive=jnp.asarray(_pad(host.alive, d_pad, False, bool)),
-        inv_norm=jnp.asarray(_pad(inv_norm, d_pad, 0, np.float32)),
+        alive=alive_d,
+        inv_norm=inv_d,
+        post_tf=device.post_tf,
     )
 
 
@@ -387,4 +474,96 @@ def pack_device_segment(
         dl=jnp.asarray(_pad(host.dl.astype(F32), d_pad, 0, np.float32)),
         alive=jnp.asarray(_pad(host.alive, d_pad, False, bool)),
         inv_norm=jnp.asarray(_pad(inv_norm, d_pad, 0, np.float32)),
+        post_tf=jnp.asarray(_pad(host.post_tf, nnz_pad, 0, np.int32)),
     )
+
+
+def build_segment_device(
+    analyzed: AnalyzedDocs,
+    config: IndexConfig,
+    doc_base: int = 0,
+) -> tuple:
+    """Device-side segment build (BASELINE.json:5 "Index build ... is
+    itself a jit-compiled batch job"): the analyzed (row, doc, tf)
+    triples ship to HBM once and the CSR pack — sort by (term row, doc),
+    indptr, df, dl — runs under jit (device_pack), followed by on-device
+    value materialization. The host keeps only the vocabulary, stats and
+    per-doc analyzed terms; the O(nnz) postings never come back
+    (SegmentHost.post_doc/post_tf are None). Same data volume shipped as
+    the host build (triples vs packed records), no host lexsort.
+
+    Values are materialized for this segment's own stats; multi-segment
+    callers run refresh_segment_vals afterwards (device-side, O(delta)).
+    Produces bit-identical indexes and results to build_segment (tested).
+    """
+    n_docs = analyzed.n_docs
+    vocab, rows, df = segment_vocab(analyzed)
+    docs = np.repeat(
+        np.arange(n_docs, dtype=np.int32),
+        np.diff(analyzed.doc_ptr).astype(np.int64),
+    )
+    nnz = len(rows)
+    d_pad = round_up(n_docs + 1, config.docs_pad_to)
+    nnz_pad = max(
+        round_up(nnz + NNZ_SLICE_MARGIN, config.nnz_pad_to),
+        config.nnz_pad_to,
+    )
+    # one H2D of the triples, then everything array-shaped is jit
+    r_d, d_d, t_d, indptr_d, _df_d, _dl_d = device_pack(
+        jnp.asarray(rows),
+        jnp.asarray(docs),
+        jnp.asarray(analyzed.tfs),
+        n_terms=len(vocab),
+        n_docs=max(n_docs, 1),
+    )
+    post_doc_pad = jnp.full(nnz_pad, n_docs, jnp.int32).at[:nnz].set(d_d)
+    post_tf_pad = jnp.zeros(nnz_pad, jnp.int32).at[:nnz].set(t_d)
+    host = SegmentHost(
+        term_hash=vocab,
+        df=df,
+        doc_base=doc_base,
+        n_docs=n_docs,
+        dl=analyzed.dl.copy(),
+        alive=np.ones(n_docs, dtype=bool),
+        doc_hashes=analyzed.hashes,
+        doc_tfs=analyzed.tfs,
+        doc_ptr=analyzed.doc_ptr,
+        indptr=np.asarray(indptr_d),  # small D2H: planning needs it
+        post_doc=None,
+        post_tf=None,
+    )
+    stats = GlobalStats(
+        vocab=vocab,
+        df=df.copy(),
+        n_alive=n_docs,
+        total_len_alive=int(analyzed.dl.sum()),
+    )
+    kind = config.scoring.kind
+    if kind == "tfidf":
+        inv_norm = doc_inv_norms(analyzed, stats, kind)
+    else:
+        inv_norm = np.zeros(n_docs, dtype=F32)
+    inv_d = jnp.asarray(_pad(inv_norm, d_pad, 0, np.float32))
+    alive_d = jnp.asarray(_pad(host.alive, d_pad, False, bool))
+    dl_dev = jnp.asarray(_pad(host.dl.astype(F32), d_pad, 0, np.float32))
+    k_doc = jnp.asarray(
+        _pad(host_k_doc(host.dl, config, stats), d_pad, 0, np.float32)
+    )
+    rec = device_materialize_rec(
+        post_doc_pad,
+        post_tf_pad,
+        k_doc,
+        inv_d,
+        alive_d,
+        jnp.float32(F32(config.scoring.k1 + 1.0)),
+        kind=kind,
+    )
+    device = SegmentDevice(
+        indptr=indptr_d,
+        post_rec=rec,
+        dl=dl_dev,
+        alive=alive_d,
+        inv_norm=inv_d,
+        post_tf=post_tf_pad,
+    )
+    return host, device

@@ -29,8 +29,7 @@ def save_engine(engine, path: str) -> None:
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta, f)
     for i, (host, device) in enumerate(engine.segments):
-        np.savez_compressed(
-            os.path.join(path, f"segment_{i}.npz"),
+        arrays = dict(
             term_hash=host.term_hash,
             df=host.df,
             doc_base=np.int64(host.doc_base),
@@ -41,12 +40,20 @@ def save_engine(engine, path: str) -> None:
             doc_tfs=host.doc_tfs,
             doc_ptr=host.doc_ptr,
             indptr=host.indptr,
-            post_doc=host.post_doc,
-            post_tf=host.post_tf,
             post_rec=np.asarray(device.post_rec),
             dev_dl=np.asarray(device.dl),
             dev_alive=np.asarray(device.alive),
             dev_inv_norm=np.asarray(device.inv_norm),
+        )
+        # device-built segments keep no host postings copies (derivable
+        # from the analyzed docs; the device arrays are saved above)
+        if host.post_doc is not None:
+            arrays["post_doc"] = host.post_doc
+            arrays["post_tf"] = host.post_tf
+        if device.post_tf is not None:
+            arrays["dev_post_tf"] = np.asarray(device.post_tf)
+        np.savez_compressed(
+            os.path.join(path, f"segment_{i}.npz"), **arrays
         )
 
 
@@ -206,8 +213,12 @@ def load_engine(path: str, engine_cls=None):
             doc_tfs=z["doc_tfs"],
             doc_ptr=z["doc_ptr"],
             indptr=z["indptr"],
-            post_doc=z["post_doc"],
-            post_tf=z["post_tf"].astype(np.int32),
+            post_doc=z["post_doc"] if "post_doc" in z.files else None,
+            post_tf=(
+                z["post_tf"].astype(np.int32)
+                if "post_tf" in z.files
+                else None
+            ),
         )
         device = SegmentDevice(
             indptr=jnp.asarray(z["indptr"]),
@@ -215,6 +226,11 @@ def load_engine(path: str, engine_cls=None):
             dl=jnp.asarray(z["dev_dl"]),
             alive=jnp.asarray(z["dev_alive"]),
             inv_norm=jnp.asarray(z["dev_inv_norm"]),
+            post_tf=(
+                jnp.asarray(z["dev_post_tf"])
+                if "dev_post_tf" in z.files
+                else None
+            ),
         )
         engine.segments.append([host, device])
     engine.stats = merge_stats([h for h, _ in engine.segments])

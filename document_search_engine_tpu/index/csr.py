@@ -70,12 +70,16 @@ class SegmentDevice:
 
     indptr: jnp.ndarray  # (T+1,) int32
     # interleaved postings records [doc_id, bitcast(f32 impact val)]:
-    # one dynamic_slice per block fetches both (the raw tf stays host-side
-    # in SegmentHost.post_tf; vals fold tombstones to 0)
+    # one dynamic_slice per block fetches both (vals fold tombstones to 0)
     post_rec: jnp.ndarray  # (nnz_pad, 2) int32
     dl: jnp.ndarray  # (D_pad,) float32
     alive: jnp.ndarray  # (D_pad,) bool
     inv_norm: jnp.ndarray  # (D_pad,) float32 (tfidf; zeros for bm25)
+    # raw term frequencies aligned with post_rec: lets the O(delta)
+    # refresh re-materialize vals ON DEVICE after df/N/avgdl change —
+    # the O(nnz) postings never round-trip to host (builder.py
+    # device_materialize_rec). None only for legacy checkpoints.
+    post_tf: jnp.ndarray | None = None  # (nnz_pad,) int32
 
     @property
     def n_docs_pad(self) -> int:

@@ -79,6 +79,84 @@ def test_build_segment_csr_roundtrip():
     assert dense[hasher_row, 1] == 1
 
 
+def test_device_build_matches_host_build():
+    """Device-side segment build (jit CSR pack + on-device value
+    materialization) must produce a bit-identical index and identical
+    search results vs the host build, for both scoring kinds, including
+    after incremental add/delete (device O(delta) refresh vs host)."""
+    from document_search_engine_tpu.config import ScoringConfig
+    from document_search_engine_tpu.corpus.synth import (
+        synth_corpus,
+        synth_queries,
+    )
+    from document_search_engine_tpu.engine.engine import SearchEngine
+
+    docs = synth_corpus(n_docs=70, vocab_size=300, mean_len=25, seed=31)
+    queries = synth_queries(docs, n_queries=8, terms_per_query=4, seed=32)
+    for kind in ("tfidf", "bm25"):
+        cfg = IndexConfig(scoring=ScoringConfig(kind=kind))
+        dev_e, host_e = SearchEngine(cfg), SearchEngine(cfg)
+        dev_e.device_build, host_e.device_build = True, False
+        dev_e.build(docs)
+        host_e.build(docs)
+        dh, dd = dev_e.segments[0]
+        hh, hd = host_e.segments[0]
+        np.testing.assert_array_equal(dh.indptr, hh.indptr)
+        np.testing.assert_array_equal(dh.df, hh.df)
+        np.testing.assert_array_equal(
+            np.asarray(dd.post_rec), np.asarray(hd.post_rec), kind
+        )
+        di, ds = dev_e.search(queries, k=10)
+        hi, hs = host_e.search(queries, k=10)
+        np.testing.assert_array_equal(di, hi)
+        np.testing.assert_array_equal(ds, hs)
+        # incremental: device refresh (O(delta)) == host re-materialize
+        dev_e.delete_docs([3, 10])
+        host_e.delete_docs([3, 10])
+        dev_e.add_docs(docs[:5])
+        host_e.add_docs(docs[:5])
+        di, ds = dev_e.search(queries, k=10)
+        hi, hs = host_e.search(queries, k=10)
+        np.testing.assert_array_equal(di, hi, kind)
+        np.testing.assert_array_equal(ds, hs, kind)
+        # compact drops tombstones, results unchanged
+        ref = dev_e.search(queries, k=10)
+        dev_e.compact()
+        after = dev_e.search(queries, k=10)
+        np.testing.assert_array_equal(after[0], ref[0])
+        np.testing.assert_array_equal(after[1], ref[1])
+
+
+def test_device_build_checkpoint_roundtrip(tmp_path):
+    """A device-built engine (no host postings copies) must checkpoint
+    and reload with identical results, and the reloaded engine must
+    still support incremental updates (device refresh path)."""
+    from document_search_engine_tpu.config import ScoringConfig
+    from document_search_engine_tpu.corpus.synth import (
+        synth_corpus,
+        synth_queries,
+    )
+    from document_search_engine_tpu.engine.engine import SearchEngine
+
+    docs = synth_corpus(n_docs=40, vocab_size=200, mean_len=20, seed=33)
+    queries = synth_queries(docs, n_queries=5, terms_per_query=3, seed=34)
+    cfg = IndexConfig(scoring=ScoringConfig(kind="bm25"))
+    eng = SearchEngine(cfg)
+    eng.build(docs)
+    ref = eng.search(queries, k=10)
+    path = str(tmp_path / "devidx")
+    eng.save(path)
+    re = SearchEngine.load(path)
+    got = re.search(queries, k=10)
+    np.testing.assert_array_equal(got[0], ref[0])
+    np.testing.assert_array_equal(got[1], ref[1])
+    re.delete_docs([0])
+    eng.delete_docs([0])
+    np.testing.assert_array_equal(
+        re.search(queries, k=10)[0], eng.search(queries, k=10)[0]
+    )
+
+
 def test_merge_stats():
     cfg = IndexConfig()
     a1 = builder.analyze_texts(["x y", "y z"], cfg)
