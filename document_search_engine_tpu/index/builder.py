@@ -165,9 +165,9 @@ def device_pack(rows, docs, tfs, n_terms: int, n_docs: int):
 
 
 @partial(jax.jit, static_argnames=("kind",))
-def device_materialize_rec(
-    post_doc: jnp.ndarray,  # (nnz_pad,) i32 — sentinel n_docs in padding
-    post_tf: jnp.ndarray,  # (nnz_pad,) i32 — 0 in padding
+def device_materialize_vals(
+    post_doc: jnp.ndarray,  # (X, 128) i32 — sentinel n_docs in padding
+    post_tf: jnp.ndarray,  # (X, 128) i32 — 0 in padding
     k_doc: jnp.ndarray,  # (d_pad,) f32 — bm25 per-doc K(dl) = c0 + c1*dl,
     #                      computed ON HOST in spec order (see below)
     inv_norm: jnp.ndarray,  # (d_pad,) f32 (tfidf; ignored for bm25)
@@ -175,11 +175,10 @@ def device_materialize_rec(
     k1p1: jnp.ndarray,  # f32 scalar — bm25 numerator factor (k1 + 1)
     kind: str,
 ):
-    """jit re-materialization of the interleaved [doc, bitcast(val)]
-    posting records from device-resident inputs — the O(delta) refresh
-    path: after df/N/avgdl change, only the small per-doc arrays
-    (k_doc/inv_norm/alive) move host->device; the O(nnz) postings never
-    do.
+    """jit re-materialization of the bitcast-f32 posting value plane from
+    device-resident inputs — the O(delta) refresh path: after df/N/avgdl
+    change, only the small per-doc arrays (k_doc/inv_norm/alive) move
+    host->device; the O(nnz) postings never do.
 
     Bit-parity note: K(dl) = c0 + c1*dl is deliberately computed on HOST
     (numpy, exactly-rounded f32 mul then add). XLA compiles with excess
@@ -196,8 +195,82 @@ def device_materialize_rec(
     else:  # bm25: val = (tf*(k1+1)) / (tf + K[doc])
         val = (tff * k1p1) / (tff + k_doc[post_doc])
     val = val * alive[post_doc].astype(jnp.float32)
-    return jnp.stack(
-        [post_doc, jax.lax.bitcast_convert_type(val, jnp.int32)], axis=1
+    return jax.lax.bitcast_convert_type(val, jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("x_rows", "n_docs"))
+def device_align_planes(
+    r: jnp.ndarray,  # (nnz,) sorted term rows
+    d: jnp.ndarray,  # (nnz,) doc ids (sorted within rows)
+    t: jnp.ndarray,  # (nnz,) tfs
+    indptr: jnp.ndarray,  # (T+1,) true cumulative lengths
+    row_start: jnp.ndarray,  # (T,) aligned flat starts
+    x_rows: int,
+    n_docs: int,
+):
+    """jit scatter of sorted postings into the aligned (X, 128) doc/tf
+    planes (device-build path; the value plane follows from
+    device_materialize_vals)."""
+    from ..ops.rank_pallas import LANES
+
+    nnz = d.shape[0]
+    i = jnp.arange(nnz, dtype=jnp.int32)
+    pos = row_start[r] + (i - indptr[r])
+    doc2 = jnp.full(x_rows * LANES, n_docs, jnp.int32).at[pos].set(d)
+    tf2 = jnp.zeros(x_rows * LANES, jnp.int32).at[pos].set(t)
+    return doc2.reshape(x_rows, LANES), tf2.reshape(x_rows, LANES)
+
+
+def aligned_geometry(indptr: np.ndarray, pad_to: int):
+    """(row_start (T,) i64, X): 128-aligned flat start offset per term
+    row in the (X, 128) posting planes, and the plane row count (includes
+    the NNZ_SLICE_MARGIN tail, rounded to pad_to records)."""
+    from ..ops.rank_pallas import LANES
+
+    lens = np.diff(indptr).astype(np.int64)
+    al_lens = -(-lens // LANES) * LANES
+    row_start = np.zeros(len(lens), np.int64)
+    np.cumsum(al_lens[:-1], out=row_start[1:])
+    total = int(al_lens.sum())
+    records = max(
+        round_up(total + NNZ_SLICE_MARGIN, max(pad_to, LANES)), LANES
+    )
+    return row_start, records // LANES
+
+
+def _aligned_positions(indptr: np.ndarray, row_start: np.ndarray):
+    """(nnz,) flat aligned position of each posting (host)."""
+    lens = np.diff(indptr).astype(np.int64)
+    off = np.arange(int(indptr[-1]), dtype=np.int64) - np.repeat(
+        indptr[:-1].astype(np.int64), lens
+    )
+    return np.repeat(row_start, lens) + off
+
+
+def _host_planes(
+    post_doc: np.ndarray,
+    vals: np.ndarray,
+    post_tf: np.ndarray,
+    indptr: np.ndarray,
+    row_start: np.ndarray,
+    x_rows: int,
+    n_docs: int,
+):
+    """Host assembly of the aligned (X, 128) doc/val/tf planes."""
+    from ..ops.rank_pallas import LANES
+
+    pos = _aligned_positions(indptr, row_start)
+    d = np.full(x_rows * LANES, n_docs, np.int32)
+    v = np.zeros(x_rows * LANES, np.int32)
+    t = np.zeros(x_rows * LANES, np.int32)
+    d[pos] = post_doc
+    if len(vals):
+        v[pos] = np.asarray(vals, np.float32).view(np.int32)
+    t[pos] = post_tf
+    return (
+        d.reshape(x_rows, LANES),
+        v.reshape(x_rows, LANES),
+        t.reshape(x_rows, LANES),
     )
 
 
@@ -370,25 +443,12 @@ def refresh_segment_vals(
     so an incrementally updated index scores identically to a fresh
     rebuild.
 
-    Production path is O(delta) in host<->device traffic: vals are
-    recomputed ON DEVICE from the resident (doc, tf) arrays
-    (device_materialize_rec); only the small per-doc alive/inv_norm
-    arrays move. The O(nnz) host rebuild remains as fallback for legacy
-    checkpoints without a device tf array (bit-identical — tested).
+    Production path is O(delta) in host<->device traffic: the value
+    plane is recomputed ON DEVICE from the resident doc/tf planes
+    (device_materialize_vals); only the small per-doc
+    alive/inv_norm/K(dl) arrays move.
     """
     d_pad = device.n_docs_pad
-    if device.post_tf is None:  # legacy checkpoint: host re-materialize
-        vals, inv_norm = segment_vals(host, config, stats)
-        nnz_pad = int(device.post_rec.shape[0])
-        return SegmentDevice(
-            indptr=device.indptr,
-            post_rec=jnp.asarray(
-                _make_rec(host.post_doc, vals, nnz_pad, host.n_docs)
-            ),
-            dl=device.dl,
-            alive=jnp.asarray(_pad(host.alive, d_pad, False, bool)),
-            inv_norm=jnp.asarray(_pad(inv_norm, d_pad, 0, np.float32)),
-        )
     kind = config.scoring.kind
     if kind == "tfidf":
         analyzed = AnalyzedDocs(
@@ -405,8 +465,8 @@ def refresh_segment_vals(
     k_doc = jnp.asarray(
         _pad(host_k_doc(host.dl, config, stats), d_pad, 0, np.float32)
     )
-    rec = device_materialize_rec(
-        device.post_rec[:, 0],
+    post_val = device_materialize_vals(
+        device.post_doc,
         device.post_tf,
         k_doc,
         inv_d,
@@ -416,21 +476,14 @@ def refresh_segment_vals(
     )
     return SegmentDevice(
         indptr=device.indptr,
-        post_rec=rec,
+        row_start=device.row_start,
+        post_doc=device.post_doc,
+        post_val=post_val,
+        post_tf=device.post_tf,
         dl=device.dl,
         alive=alive_d,
         inv_norm=inv_d,
-        post_tf=device.post_tf,
     )
-
-
-def _make_rec(post_doc, vals, nnz_pad: int, sentinel_doc: int):
-    """(nnz_pad, 2) int32 interleaved [doc, bitcast(val)] records."""
-    rec = np.zeros((nnz_pad, 2), np.int32)
-    rec[:, 0] = sentinel_doc
-    rec[: len(post_doc), 0] = post_doc
-    rec[: len(vals), 1] = np.asarray(vals, np.float32).view(np.int32)
-    return rec
 
 
 def _pad(a, size, fill, dtype):
@@ -445,20 +498,14 @@ def pack_device_segment(
     stats: GlobalStats,
     materialize: bool = True,
 ) -> SegmentDevice:
-    """Ship a host segment's CSR to the device. With materialize=False the
-    impact values are left zero — callers that immediately run
-    refresh_segment_vals (every incremental path) skip the double
-    materialization."""
+    """Ship a host segment's CSR to the device in the aligned-plane
+    layout. With materialize=False the impact values are left zero —
+    callers that immediately run refresh_segment_vals (every incremental
+    path) skip the double materialization."""
     n_docs = host.n_docs
     d_pad = round_up(n_docs + 1, config.docs_pad_to)
-    nnz = len(host.post_doc)
-    # margin: the dynamic-slice packing path (ops/packed.py
-    # search_packed_ds) reads whole blocks past a row's end; the margin
-    # guarantees tail blocks stay inside the array without clamping.
-    nnz_pad = max(
-        round_up(nnz + NNZ_SLICE_MARGIN, config.nnz_pad_to),
-        config.nnz_pad_to,
-    )
+    row_start, x_rows = aligned_geometry(host.indptr, config.nnz_pad_to)
+    host.row_start = row_start
 
     if materialize:
         vals, inv_norm = segment_vals(host, config, stats)
@@ -466,15 +513,19 @@ def pack_device_segment(
         vals = np.zeros(0, dtype=F32)
         inv_norm = np.zeros(n_docs, dtype=F32)
 
+    d2, v2, t2 = _host_planes(
+        host.post_doc, vals, host.post_tf, host.indptr, row_start,
+        x_rows, n_docs,
+    )
     return SegmentDevice(
         indptr=jnp.asarray(host.indptr),
-        post_rec=jnp.asarray(
-            _make_rec(host.post_doc, vals, nnz_pad, n_docs)
-        ),
+        row_start=jnp.asarray(row_start.astype(np.int32)),
+        post_doc=jnp.asarray(d2),
+        post_val=jnp.asarray(v2),
+        post_tf=jnp.asarray(t2),
         dl=jnp.asarray(_pad(host.dl.astype(F32), d_pad, 0, np.float32)),
         alive=jnp.asarray(_pad(host.alive, d_pad, False, bool)),
         inv_norm=jnp.asarray(_pad(inv_norm, d_pad, 0, np.float32)),
-        post_tf=jnp.asarray(_pad(host.post_tf, nnz_pad, 0, np.int32)),
     )
 
 
@@ -502,12 +553,7 @@ def build_segment_device(
         np.arange(n_docs, dtype=np.int32),
         np.diff(analyzed.doc_ptr).astype(np.int64),
     )
-    nnz = len(rows)
     d_pad = round_up(n_docs + 1, config.docs_pad_to)
-    nnz_pad = max(
-        round_up(nnz + NNZ_SLICE_MARGIN, config.nnz_pad_to),
-        config.nnz_pad_to,
-    )
     # one H2D of the triples, then everything array-shaped is jit
     r_d, d_d, t_d, indptr_d, _df_d, _dl_d = device_pack(
         jnp.asarray(rows),
@@ -516,8 +562,13 @@ def build_segment_device(
         n_terms=len(vocab),
         n_docs=max(n_docs, 1),
     )
-    post_doc_pad = jnp.full(nnz_pad, n_docs, jnp.int32).at[:nnz].set(d_d)
-    post_tf_pad = jnp.zeros(nnz_pad, jnp.int32).at[:nnz].set(t_d)
+    indptr = np.asarray(indptr_d)  # small D2H: planning needs it
+    row_start, x_rows = aligned_geometry(indptr, config.nnz_pad_to)
+    row_start_d = jnp.asarray(row_start.astype(np.int32))
+    doc2, tf2 = device_align_planes(
+        r_d, d_d, t_d, indptr_d, row_start_d, x_rows=x_rows,
+        n_docs=n_docs,
+    )
     host = SegmentHost(
         term_hash=vocab,
         df=df,
@@ -528,7 +579,8 @@ def build_segment_device(
         doc_hashes=analyzed.hashes,
         doc_tfs=analyzed.tfs,
         doc_ptr=analyzed.doc_ptr,
-        indptr=np.asarray(indptr_d),  # small D2H: planning needs it
+        indptr=indptr,
+        row_start=row_start,
         post_doc=None,
         post_tf=None,
     )
@@ -549,9 +601,9 @@ def build_segment_device(
     k_doc = jnp.asarray(
         _pad(host_k_doc(host.dl, config, stats), d_pad, 0, np.float32)
     )
-    rec = device_materialize_rec(
-        post_doc_pad,
-        post_tf_pad,
+    val2 = device_materialize_vals(
+        doc2,
+        tf2,
         k_doc,
         inv_d,
         alive_d,
@@ -560,10 +612,12 @@ def build_segment_device(
     )
     device = SegmentDevice(
         indptr=indptr_d,
-        post_rec=rec,
+        row_start=row_start_d,
+        post_doc=doc2,
+        post_val=val2,
+        post_tf=tf2,
         dl=dl_dev,
         alive=alive_d,
         inv_norm=inv_d,
-        post_tf=post_tf_pad,
     )
     return host, device

@@ -24,7 +24,7 @@ def save_engine(engine, path: str) -> None:
     meta = {
         "n_docs_total": engine.n_docs_total,
         "n_segments": len(engine.segments),
-        "format_version": 1,
+        "format_version": 2,  # v2: 128-aligned (X, 128) posting planes
     }
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta, f)
@@ -40,18 +40,19 @@ def save_engine(engine, path: str) -> None:
             doc_tfs=host.doc_tfs,
             doc_ptr=host.doc_ptr,
             indptr=host.indptr,
-            post_rec=np.asarray(device.post_rec),
+            row_start=host.row_start,
+            plane_doc=np.asarray(device.post_doc),
+            plane_val=np.asarray(device.post_val),
+            plane_tf=np.asarray(device.post_tf),
             dev_dl=np.asarray(device.dl),
             dev_alive=np.asarray(device.alive),
             dev_inv_norm=np.asarray(device.inv_norm),
         )
         # device-built segments keep no host postings copies (derivable
-        # from the analyzed docs; the device arrays are saved above)
+        # from the analyzed docs; the device planes are saved above)
         if host.post_doc is not None:
             arrays["post_doc"] = host.post_doc
             arrays["post_tf"] = host.post_tf
-        if device.post_tf is not None:
-            arrays["dev_post_tf"] = np.asarray(device.post_tf)
         np.savez_compressed(
             os.path.join(path, f"segment_{i}.npz"), **arrays
         )
@@ -105,7 +106,7 @@ def save_sharded(engine, path: str) -> None:
     hosts = engine.index.hosts if engine.index else []
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(
-            {"n_shards": len(hosts), "sharded": True, "format_version": 1},
+            {"n_shards": len(hosts), "sharded": True, "format_version": 2},
             f,
         )
     for i, h in enumerate(hosts):
@@ -127,7 +128,7 @@ def load_sharded(path: str, mesh=None):
         config = IndexConfig.from_json(f.read())
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
-    if meta.get("format_version", 0) != 1 or not meta.get("sharded"):
+    if meta.get("format_version", 0) != 2 or not meta.get("sharded"):
         raise ValueError(
             "not a sharded checkpoint (open with SearchEngine.load?)"
         )
@@ -189,7 +190,7 @@ def load_engine(path: str, engine_cls=None):
         config = IndexConfig.from_json(f.read())
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
-    if meta.get("format_version", 0) != 1:
+    if meta.get("format_version", 0) != 2:
         raise ValueError(
             f"unsupported index format_version {meta.get('format_version')}"
         )
@@ -213,6 +214,7 @@ def load_engine(path: str, engine_cls=None):
             doc_tfs=z["doc_tfs"],
             doc_ptr=z["doc_ptr"],
             indptr=z["indptr"],
+            row_start=z["row_start"],
             post_doc=z["post_doc"] if "post_doc" in z.files else None,
             post_tf=(
                 z["post_tf"].astype(np.int32)
@@ -222,15 +224,13 @@ def load_engine(path: str, engine_cls=None):
         )
         device = SegmentDevice(
             indptr=jnp.asarray(z["indptr"]),
-            post_rec=jnp.asarray(z["post_rec"]),
+            row_start=jnp.asarray(z["row_start"].astype(np.int32)),
+            post_doc=jnp.asarray(z["plane_doc"]),
+            post_val=jnp.asarray(z["plane_val"]),
+            post_tf=jnp.asarray(z["plane_tf"]),
             dl=jnp.asarray(z["dev_dl"]),
             alive=jnp.asarray(z["dev_alive"]),
             inv_norm=jnp.asarray(z["dev_inv_norm"]),
-            post_tf=(
-                jnp.asarray(z["dev_post_tf"])
-                if "dev_post_tf" in z.files
-                else None
-            ),
         )
         engine.segments.append([host, device])
     engine.stats = merge_stats([h for h, _ in engine.segments])

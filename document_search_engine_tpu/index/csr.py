@@ -18,10 +18,11 @@ def round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m if m > 1 else x
 
 
-# Builders pad post_rec to nnz + NNZ_SLICE_MARGIN so block-aligned
-# dynamic_slice/DMA packing (ops/packed.py, ops/pack_pallas.py) can read
-# whole blocks past a row's end without clamping. Any packing block size
-# must be <= this margin — asserted at the kernel entry points.
+# Builders pad the posting planes to aligned_nnz + NNZ_SLICE_MARGIN so
+# block-aligned dynamic_slice/DMA packing (ops/packed.py,
+# ops/fused_pallas.py) can read whole blocks past a row's end without
+# clamping. Any packing block size must be <= this margin — asserted at
+# the kernel entry points.
 NNZ_SLICE_MARGIN = 2048
 
 
@@ -41,9 +42,11 @@ class SegmentHost:
     doc_tfs: np.ndarray = field(repr=False, default=None)
     doc_ptr: np.ndarray = field(repr=False, default=None)
     # host copies of the CSR arrays: indptr for static capacity sizing,
-    # post_doc/post_tf so value re-materialization (refresh) never has to
-    # re-sort postings or pull them back from the device
+    # row_start (128-aligned flat offset of each term row in the device
+    # planes) for query planning, post_doc/post_tf so host-path value
+    # materialization never re-sorts (None for device-built segments)
     indptr: np.ndarray = field(repr=False, default=None)
+    row_start: np.ndarray = field(repr=False, default=None)
     post_doc: np.ndarray = field(repr=False, default=None)
     post_tf: np.ndarray = field(repr=False, default=None)
 
@@ -64,22 +67,28 @@ class SegmentHost:
 class SegmentDevice:
     """Device-resident CSR arrays (HBM). Padded to static shapes for jit.
 
-    Postings are sorted by (term row, local doc id); padding entries point
-    at the sentinel doc slot `n_docs` with val 0 (alive=False there).
+    Postings are sorted by (term row, local doc id) and stored as
+    128-record-ALIGNED (X, 128) int32 planes: each term row starts at a
+    128-aligned flat offset (`row_start`, flat index = r*128 + l), with
+    sentinel-doc/zero-val padding between rows and a NNZ_SLICE_MARGIN
+    tail. The alignment is what lets the fused Pallas kernel
+    (ops/fused_pallas.py) DMA whole (block/128, 128) row-ranges — Mosaic
+    rejects narrower HBM slices — and it is harmless to the XLA
+    dynamic-slice path (padding entries carry sentinel doc + val 0).
     """
 
-    indptr: jnp.ndarray  # (T+1,) int32
-    # interleaved postings records [doc_id, bitcast(f32 impact val)]:
-    # one dynamic_slice per block fetches both (vals fold tombstones to 0)
-    post_rec: jnp.ndarray  # (nnz_pad, 2) int32
+    indptr: jnp.ndarray  # (T+1,) int32 — TRUE cumulative row lengths
+    row_start: jnp.ndarray  # (T,) int32 — aligned flat start per row
+    post_doc: jnp.ndarray  # (X, 128) int32 — doc ids, sentinel padding
+    post_val: jnp.ndarray  # (X, 128) int32 — bitcast f32 impact vals
+    # raw term frequencies in the same geometry: lets the O(delta)
+    # refresh re-materialize vals ON DEVICE after df/N/avgdl change —
+    # the O(nnz) postings never round-trip to host
+    # (builder.device_materialize_vals)
+    post_tf: jnp.ndarray  # (X, 128) int32
     dl: jnp.ndarray  # (D_pad,) float32
     alive: jnp.ndarray  # (D_pad,) bool
     inv_norm: jnp.ndarray  # (D_pad,) float32 (tfidf; zeros for bm25)
-    # raw term frequencies aligned with post_rec: lets the O(delta)
-    # refresh re-materialize vals ON DEVICE after df/N/avgdl change —
-    # the O(nnz) postings never round-trip to host (builder.py
-    # device_materialize_rec). None only for legacy checkpoints.
-    post_tf: jnp.ndarray | None = None  # (nnz_pad,) int32
 
     @property
     def n_docs_pad(self) -> int:

@@ -1,0 +1,310 @@
+"""Pallas TPU kernel: the fused production search step — DMA postings
+pack + fixed-point scoring + merge + ranked top-k in one kernel.
+
+This is the north star's "TF-IDF/BM25 scoring runs as a Pallas
+SpMV/masked-matmul kernel over batched queries" plus its "Pallas
+per-shard partial top-k" (BASELINE.json:5), fused: per query, the CSR
+ranges of its slots are DMA'd HBM->VMEM as fixed-size blocks (DEPTH in
+flight), quantized to int32 contributions on arrival, and ranked by the
+shared in-VMEM merge pipeline (ops/rank_pallas.py merge_rank_body). The
+packed candidate buffer never exists in HBM, and the whole step issues
+no XLA gathers or dynamic slices — the round-1 profile showed the
+vmapped dynamic_slice pack's ~2us/slice overhead dominating the step.
+
+Layout contract (index/builder.py aligned layout): postings live in
+(X, 128) int32 planes `post_doc` / `post_val` (val bitcast f32) /
+`post_tf`, each term row starting at a 128-aligned flat offset
+(`row_start`), sentinel-doc/zero-val padding between rows and a
+NNZ_SLICE_MARGIN tail so block reads past a row's end stay in bounds.
+DMA therefore moves whole (block/128, 128) row-ranges — Mosaic rejects
+narrower HBM slices (the round-1 (block, 2) record DMA failed to
+compile: "slice shape along dimension 1 must be aligned to tiling").
+
+Arithmetic is bit-identical to the XLA packed path (same f32 multiply
+nesting, round-half-even, clip, integer sums — DESIGN.md §2): gated by
+tests/test_fused_pallas.py in interpret mode and tests/test_tpu_smoke.py
+on hardware.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .rank_pallas import LANES, merge_rank_body
+
+DEPTH = 4  # DMA block pairs in flight per program
+
+
+def plan_tables(
+    row_start: np.ndarray,  # (T,) aligned flat record offsets per row
+    indptr: np.ndarray,  # (T+1,) true cumulative lengths
+    rows: np.ndarray,  # (nq, S) term rows per slot
+    coeff: np.ndarray,  # (nq, S) f32 slot coefficients (0 = missing)
+    n_blocks: int,
+    block: int,
+):
+    """Host-side per-(query, block) DMA plan: (srcrow, rem, abits), each
+    (nq, 1, n_blocks) int32 — source row offset in the (X, 128) planes
+    (-1 = skip), postings remaining at block start (masks the tail), and
+    the slot coefficient bits. Pure vectorized numpy."""
+    nq, s = rows.shape
+    b128 = block // LANES
+    if len(indptr) < 2:  # empty segment/shard: every block skipped
+        z = np.zeros((nq, 1, n_blocks), np.int32)
+        return np.full((nq, 1, n_blocks), -1, np.int32), z, z.copy()
+    lens = (indptr[rows + 1] - indptr[rows]).astype(np.int64)
+    lens = np.where(coeff > 0, lens, 0)
+    nblk = -(-lens // block)
+    blk_cum = np.concatenate(
+        [np.zeros((nq, 1), np.int64), np.cumsum(nblk, axis=1)], axis=1
+    )
+    jj = np.arange(n_blocks, dtype=np.int64)[None, :]
+    srcrow = np.full((nq, n_blocks), -1, np.int32)
+    rem = np.zeros((nq, n_blocks), np.int32)
+    abits = np.zeros((nq, n_blocks), np.int32)
+    cbits = coeff.astype(np.float32).view(np.int32)
+    starts128 = (row_start[rows] // LANES).astype(np.int64)  # (nq, S)
+    for t in range(s):
+        in_t = (jj >= blk_cum[:, t : t + 1]) & (
+            jj < blk_cum[:, t + 1 : t + 2]
+        )
+        off_b = jj - blk_cum[:, t : t + 1]
+        srcrow = np.where(
+            in_t, starts128[:, t : t + 1] + off_b * b128, srcrow
+        ).astype(np.int32)
+        rem = np.where(
+            in_t, lens[:, t : t + 1] - off_b * block, rem
+        ).astype(np.int32)
+        abits = np.where(in_t, cbits[:, t : t + 1], abits)
+    return (
+        srcrow.reshape(nq, 1, n_blocks),
+        rem.reshape(nq, 1, n_blocks),
+        abits.reshape(nq, 1, n_blocks),
+    )
+
+
+def _fused_kernel(
+    srcrow_ref,  # (1, 1, NB) SMEM
+    rem_ref,  # (1, 1, NB) SMEM
+    abits_ref,  # (1, 1, NB) SMEM
+    doc_hbm,  # (X, 128) ANY
+    val_hbm,  # (X, 128) ANY
+    vals_ref,  # (1, 1, LANES) VMEM out
+    docs_ref,  # (1, 1, LANES) VMEM out
+    dbuf,  # (DEPTH, b128, 128) VMEM scratch
+    vbuf,
+    dacc,  # (R, 128) VMEM scratch — assembled doc keys
+    ciacc,  # (R, 128) VMEM scratch — assembled contributions
+    sems,  # (2, DEPTH) DMA semaphores
+    *,
+    n_blocks: int,
+    block: int,
+    s: int,
+    k: int,
+    n_docs: int,
+    scale: float,
+    clip: float,
+):
+    b128 = block // LANES
+
+    def get_dma(j, slot):
+        src = srcrow_ref[0, 0, j]
+        return (
+            pltpu.make_async_copy(
+                doc_hbm.at[pl.ds(src, b128), :], dbuf.at[slot],
+                sems.at[0, slot],
+            ),
+            pltpu.make_async_copy(
+                val_hbm.at[pl.ds(src, b128), :], vbuf.at[slot],
+                sems.at[1, slot],
+            ),
+        )
+
+    def start(j):
+        @pl.when(srcrow_ref[0, 0, j] >= 0)
+        def _():
+            da, va = get_dma(j, j % DEPTH)
+            da.start()
+            va.start()
+
+    for j in range(min(DEPTH, n_blocks)):
+        start(j)
+    r_idx = jax.lax.broadcasted_iota(jnp.int32, (b128, LANES), 0)
+    l_idx = jax.lax.broadcasted_iota(jnp.int32, (b128, LANES), 1)
+    flat = r_idx * LANES + l_idx
+    for j in range(n_blocks):
+        slot = j % DEPTH
+
+        @pl.when(srcrow_ref[0, 0, j] >= 0)
+        def _():
+            da, va = get_dma(j, slot)
+            da.wait()
+            va.wait()
+            dch = dbuf[slot]
+            vch = jax.lax.bitcast_convert_type(vbuf[slot], jnp.float32)
+            # slot coefficient, broadcast from its bits (exact f32)
+            a = jax.lax.bitcast_convert_type(
+                jnp.full((b128, LANES), abits_ref[0, 0, j], jnp.int32),
+                jnp.float32,
+            )
+            # DESIGN.md §2 quantization — identical ops to the XLA path
+            ci_f = jnp.round((a * vch) * scale)
+            ci = jnp.clip(ci_f, 0.0, clip).astype(jnp.int32)
+            valid = flat < rem_ref[0, 0, j]
+            dacc[pl.ds(j * b128, b128), :] = jnp.where(valid, dch, n_docs)
+            ciacc[pl.ds(j * b128, b128), :] = jnp.where(valid, ci, 0)
+
+        @pl.when(srcrow_ref[0, 0, j] < 0)
+        def _():
+            dacc[pl.ds(j * b128, b128), :] = jnp.full(
+                (b128, LANES), n_docs, jnp.int32
+            )
+            ciacc[pl.ds(j * b128, b128), :] = jnp.zeros(
+                (b128, LANES), jnp.int32
+            )
+
+        nxt = j + DEPTH
+        if nxt < n_blocks:
+            start(nxt)
+    vals, docs = merge_rank_body(
+        dacc[:], ciacc[:], block=block, s=s, k=k, n_docs=n_docs
+    )
+    vals_ref[0] = vals
+    docs_ref[0] = docs
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "n_blocks",
+        "block",
+        "s",
+        "k",
+        "n_docs",
+        "scale",
+        "clip",
+        "interpret",
+    ),
+)
+def fused_search_pallas(
+    post_doc: jnp.ndarray,  # (X, 128) i32 aligned doc plane
+    post_val: jnp.ndarray,  # (X, 128) i32 aligned bitcast-f32 val plane
+    srcrow: jnp.ndarray,  # (nq, 1, NB) i32 from plan_tables
+    rem: jnp.ndarray,  # (nq, 1, NB) i32
+    abits: jnp.ndarray,  # (nq, 1, NB) i32
+    n_blocks: int,
+    block: int,
+    s: int,
+    k: int,
+    n_docs: int,
+    scale: float,  # static: f32(2^scale_bits) as a Python float
+    clip: float,  # static: f32(quant_clip_max) as a Python float
+    interpret: bool = False,
+):
+    """(vals, docs_local) (nq, k) int32, ranked (score desc, doc asc);
+    exhausted slots are (-1, -1). Bit-identical to search_packed_ds on
+    the same plan (tested)."""
+    nq = srcrow.shape[0]
+    b128 = block // LANES
+    r_dim = n_blocks * b128
+    assert k <= LANES
+    kernel = partial(
+        _fused_kernel,
+        n_blocks=n_blocks,
+        block=block,
+        s=s,
+        k=k,
+        n_docs=n_docs,
+        scale=scale,
+        clip=clip,
+    )
+    smem = partial(
+        pl.BlockSpec, (1, 1, n_blocks), lambda q: (q, 0, 0),
+        memory_space=pltpu.SMEM,
+    )
+    vals, docs = pl.pallas_call(
+        kernel,
+        grid=(nq,),
+        in_specs=[
+            smem(),
+            smem(),
+            smem(),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, 1, LANES), lambda q: (q, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, LANES), lambda q: (q, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((DEPTH, b128, LANES), jnp.int32),
+            pltpu.VMEM((DEPTH, b128, LANES), jnp.int32),
+            pltpu.VMEM((r_dim, LANES), jnp.int32),
+            pltpu.VMEM((r_dim, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, DEPTH)),
+        ],
+        out_shape=(
+            jax.ShapeDtypeStruct((nq, 1, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((nq, 1, LANES), jnp.int32),
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(srcrow, rem, abits, post_doc, post_val)
+    return vals[:, 0, :k], docs[:, 0, :k]
+
+
+def fused_search(
+    post_doc,
+    post_val,
+    row_start: np.ndarray,
+    indptr: np.ndarray,
+    rows: np.ndarray,
+    coeff: np.ndarray,
+    doc_base: int,
+    n_blocks: int,
+    block: int,
+    k: int,
+    n_docs: int,
+    scale: float,
+    clip: float,
+    interpret: bool = False,
+):
+    """Convenience wrapper: host plan + kernel + global-id masking, with
+    the same output contract as search_packed_ds."""
+    srcrow, rem, abits = plan_tables(
+        row_start, indptr, rows, coeff, n_blocks, block
+    )
+    kk = min(k, LANES)
+    vals, docs = fused_search_pallas(
+        post_doc,
+        post_val,
+        jnp.asarray(srcrow),
+        jnp.asarray(rem),
+        jnp.asarray(abits),
+        n_blocks=n_blocks,
+        block=block,
+        s=rows.shape[1],
+        k=kk,
+        n_docs=n_docs,
+        scale=scale,
+        clip=clip,
+        interpret=interpret,
+    )
+    gids = jnp.where(vals > 0, docs + doc_base, -1)
+    if kk < k:
+        vals = jnp.concatenate(
+            [vals, jnp.full((vals.shape[0], k - kk), -1, vals.dtype)], 1
+        )
+        gids = jnp.concatenate(
+            [gids, jnp.full((gids.shape[0], k - kk), -1, gids.dtype)], 1
+        )
+    return vals, gids

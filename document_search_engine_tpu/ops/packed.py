@@ -56,12 +56,14 @@ def search_packed(
     c_total: int,
     k: int,
     n_docs: int,  # local doc-id sentinel for padding (> any real doc)
+    row_start: jnp.ndarray | None = None,  # (T,) aligned starts (else
+    #                                        rows are indptr-contiguous)
 ):
     """(vals (nq,k) int32, gids (nq,k) int32), ranked (score desc, gid asc),
     matching (score>0) alive docs only; empty slots are (-1, -1)."""
     nq, s = rows.shape
-    starts = indptr[rows]  # (nq, S) — small gathers
-    lens = indptr[rows + 1] - starts
+    starts = (indptr if row_start is None else row_start)[rows]
+    lens = indptr[rows + 1] - indptr[rows]
     lens = jnp.where(coeff > 0, lens, 0)  # missing slots pack nothing
     cum = jnp.concatenate(
         [jnp.zeros((nq, 1), lens.dtype), jnp.cumsum(lens, axis=1)], axis=1
@@ -132,6 +134,97 @@ def rank_candidates(d_key, ci, doc_base, s: int, k: int, n_docs: int):
     jax.jit,
     static_argnames=(
         "n_blocks",
+        "block",
+        "s",
+        "k",
+        "n_docs",
+        "use_rank_pallas",
+        "rank_interpret",
+    ),
+)
+def search_packed_tables(
+    post_doc2: jnp.ndarray,  # (X, 128) i32 aligned doc plane
+    post_val2: jnp.ndarray,  # (X, 128) i32 aligned bitcast-f32 vals
+    srcrow: jnp.ndarray,  # (nq, 1, NB) i32 plan (ops/fused_pallas.py)
+    rem: jnp.ndarray,  # (nq, 1, NB) i32
+    abits: jnp.ndarray,  # (nq, 1, NB) i32 bitcast-f32 slot coefficients
+    scale: jnp.ndarray,
+    clip: jnp.ndarray,
+    doc_base: jnp.ndarray,
+    n_blocks: int,
+    block: int,
+    s: int,  # query slot count (bounds per-doc occurrences per row)
+    k: int,
+    n_docs: int,
+    use_rank_pallas: bool = False,
+    rank_interpret: bool = False,
+):
+    """XLA twin of the fused Pallas kernel: consumes the exact same
+    per-(query, block) DMA plan tables (fused_pallas.plan_tables) so the
+    serving paths stage once and pick the backend per platform.
+    Bit-identical to the kernel and to search_packed (tested)."""
+    nq = srcrow.shape[0]
+    srcrow2 = srcrow.reshape(nq, n_blocks)
+    rem2 = rem.reshape(nq, n_blocks)
+    a_b = jax.lax.bitcast_convert_type(
+        abits.reshape(nq, n_blocks), jnp.float32
+    )
+    src = jnp.maximum(srcrow2, 0).astype(jnp.int32) * 128
+    doc_flat = post_doc2.reshape(-1)
+    val_flat = post_val2.reshape(-1)
+    slice_one = jax.vmap(
+        jax.vmap(
+            lambda s0: (
+                jax.lax.dynamic_slice(doc_flat, (s0,), (block,)),
+                jax.lax.dynamic_slice(val_flat, (s0,), (block,)),
+            )
+        )
+    )
+    d_b, v_b = slice_one(src)  # (nq, NB, block)
+    v = jax.lax.bitcast_convert_type(v_b, jnp.float32)
+    lane = jnp.arange(block, dtype=jnp.int32)[None, None, :]
+    valid = (lane < rem2[:, :, None]) & (srcrow2[:, :, None] >= 0)
+    a = jnp.broadcast_to(a_b[:, :, None], (nq, n_blocks, block))
+    ci_f = jnp.round((a * v) * scale)
+    ci = jnp.clip(ci_f, 0.0, clip).astype(jnp.int32)
+    ci = jnp.where(valid, ci, 0).reshape(nq, n_blocks * block)
+    d_key = jnp.where(valid, d_b, n_docs).reshape(nq, n_blocks * block)
+    if use_rank_pallas:
+        from .rank_pallas import rank_candidates_pallas
+
+        return rank_candidates_pallas(
+            d_key, ci, doc_base, block=block, s=s, k=k, n_docs=n_docs,
+            interpret=rank_interpret,
+        )
+    return rank_candidates(d_key, ci, doc_base, s, k, n_docs)
+
+
+def _src_table(starts, lens, n_blocks: int, block: int, nnz_pad: int):
+    """(nq, n_blocks) int32 flat source offsets (-1 = skip), plus the
+    block-aligned per-slot cum offsets (nq, S+1) for downstream masking.
+    Pure elementwise XLA over (nq, S) and (nq, n_blocks): cheap."""
+    nq, s = starts.shape
+    nblk = -(-lens // block)  # (nq, S)
+    blk_cum = jnp.concatenate(
+        [jnp.zeros((nq, 1), nblk.dtype), jnp.cumsum(nblk, axis=1)], axis=1
+    )
+    j = jnp.arange(n_blocks, dtype=jnp.int32)[None, :]  # (1, NB)
+    src = jnp.full((nq, n_blocks), -1, jnp.int32)
+    for t in range(s):
+        in_t = (j >= blk_cum[:, t : t + 1]) & (j < blk_cum[:, t + 1 : t + 2])
+        off = (j - blk_cum[:, t : t + 1]) * block
+        src_t = starts[:, t : t + 1] + off
+        src = jnp.where(in_t, src_t, src)
+    # clamp so src+block stays in bounds (tail blocks read past the row;
+    # those lanes are masked downstream)
+    src = jnp.where(src >= 0, jnp.minimum(src, nnz_pad - block), src)
+    return src, blk_cum
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "n_blocks",
         "k",
         "n_docs",
         "block",
@@ -140,9 +233,11 @@ def rank_candidates(d_key, ci, doc_base, s: int, k: int, n_docs: int):
     ),
 )
 def search_packed_ds(
-    post_rec: jnp.ndarray,  # (nnz_pad, 2) int32: [doc, bitcast(val)];
-    #                         val is 0 for tombstoned docs
-    indptr: jnp.ndarray,  # (T+1,) int32
+    post_doc2: jnp.ndarray,  # (X, 128) int32 aligned doc plane
+    post_val2: jnp.ndarray,  # (X, 128) int32 aligned bitcast-f32 vals;
+    #                          0 for tombstoned docs
+    indptr: jnp.ndarray,  # (T+1,) int32 — true cumulative lengths
+    row_start: jnp.ndarray,  # (T,) int32 — aligned flat row starts
     rows: jnp.ndarray,  # (nq, S) int32
     coeff: jnp.ndarray,  # (nq, S) f32
     scale: jnp.ndarray,
@@ -156,40 +251,44 @@ def search_packed_ds(
     rank_interpret: bool = False,
 ):
     """search_packed with the packing stage as vmapped `dynamic_slice`
-    block copies over interleaved [doc, val] records — measured 20x
-    faster than gather on this TPU (contiguous-block slicing streams;
-    element gathers run at ~0.4 GB/s), and one record slice beats two
-    separate-array slices ~1.7x (per-slice overhead dominates).
-    Destination regions are block-aligned per slot; requires
-    nnz_pad >= nnz + block so tail blocks stay in bounds.
-    Bit-identical to search_packed (tested)."""
+    block copies over the aligned posting planes — contiguous-block
+    slicing streams where element gathers run at ~0.4 GB/s on TPU.
+    Destination regions are block-aligned per slot; the builder's
+    NNZ_SLICE_MARGIN tail keeps block reads past a row's end in bounds.
+    Bit-identical to search_packed (tested). This is the portable XLA
+    scorer; on TPU the fused Pallas kernel (ops/fused_pallas.py) is the
+    production step.
+    """
     from ..index.csr import NNZ_SLICE_MARGIN
-    from .pack_pallas import _src_table
 
-    # Builders pad post_rec by NNZ_SLICE_MARGIN; a bigger block would make
-    # _src_table clamp tail-block sources, silently misaligning that block
-    # while its lanes stay marked valid. Fail loudly instead.
+    # Builders pad the planes by NNZ_SLICE_MARGIN; a bigger block would
+    # make _src_table clamp tail-block sources, silently misaligning that
+    # block while its lanes stay marked valid. Fail loudly instead.
     assert block <= NNZ_SLICE_MARGIN, (
         f"block={block} exceeds the builder's nnz slice margin "
         f"({NNZ_SLICE_MARGIN}); tail blocks would read clamped sources"
     )
     nq, s = rows.shape
-    starts = indptr[rows]
-    lens = indptr[rows + 1] - starts
+    starts = row_start[rows]
+    lens = indptr[rows + 1] - indptr[rows]
     lens = jnp.where(coeff > 0, lens, 0)
-    src, blk_cum = _src_table(
-        starts, lens, n_blocks, block, int(post_rec.shape[0])
-    )
+    nnz_pad = int(post_doc2.shape[0]) * int(post_doc2.shape[1])
+    src, blk_cum = _src_table(starts, lens, n_blocks, block, nnz_pad)
     src_c = jnp.maximum(src, 0)
 
-    slice_r = jax.vmap(
+    doc_flat = post_doc2.reshape(-1)
+    val_flat = post_val2.reshape(-1)
+    slice_one = jax.vmap(
         jax.vmap(
-            lambda s0: jax.lax.dynamic_slice(post_rec, (s0, 0), (block, 2))
+            lambda s0: (
+                jax.lax.dynamic_slice(doc_flat, (s0,), (block,)),
+                jax.lax.dynamic_slice(val_flat, (s0,), (block,)),
+            )
         )
     )
-    packed = slice_r(src_c)  # (nq, NB, block, 2)
-    d = packed[..., 0].reshape(nq, n_blocks * block)
-    v = jax.lax.bitcast_convert_type(packed[..., 1], jnp.float32).reshape(
+    d_b, v_b = slice_one(src_c)  # (nq, NB, block) each
+    d = d_b.reshape(nq, n_blocks * block)
+    v = jax.lax.bitcast_convert_type(v_b, jnp.float32).reshape(
         nq, n_blocks * block
     )
 
@@ -224,64 +323,4 @@ def search_packed_ds(
             d_key, ci, doc_base, block=block, s=s, k=k, n_docs=n_docs,
             interpret=rank_interpret,
         )
-    return rank_candidates(d_key, ci, doc_base, s, k, n_docs)
-
-
-@partial(
-    jax.jit, static_argnames=("n_blocks", "k", "n_docs", "interpret")
-)
-def search_packed_rec(
-    post_rec: jnp.ndarray,  # (nnz_pad, 2) int32 [doc, bitcast(val)]
-    indptr: jnp.ndarray,  # (T+1,) int32
-    rows: jnp.ndarray,  # (nq, S) int32
-    coeff: jnp.ndarray,  # (nq, S) f32
-    scale: jnp.ndarray,
-    clip: jnp.ndarray,
-    doc_base: jnp.ndarray,
-    n_blocks: int,
-    k: int,
-    n_docs: int,
-    interpret: bool = False,
-):
-    """search_packed with the packing stage done by the Pallas DMA kernel
-    (ops/pack_pallas.py): contiguous block DMAs instead of random gathers.
-    Destination regions are block-aligned per slot, so positions are
-    attributed to slots in *block* units ((nq, n_blocks) arrays — tiny).
-    Bit-identical to search_packed (tested)."""
-    from .pack_pallas import BLOCK, _src_table, pack_postings_pallas
-
-    nq, s = rows.shape
-    starts = indptr[rows]
-    lens = indptr[rows + 1] - starts
-    lens = jnp.where(coeff > 0, lens, 0)
-    src, blk_cum = _src_table(
-        starts, lens, n_blocks, BLOCK, int(post_rec.shape[0])
-    )
-    packed = pack_postings_pallas(
-        post_rec, src, n_blocks=n_blocks, interpret=interpret
-    )  # (nq, NB*B, 2)
-    d = packed[..., 0]
-    v = jax.lax.bitcast_convert_type(packed[..., 1], jnp.float32)
-
-    # per-block slot attribution (block-aligned regions)
-    blk = jnp.arange(n_blocks, dtype=jnp.int32)[None, :]  # (1, NB)
-    a_b = jnp.zeros((nq, n_blocks), jnp.float32)
-    rem_b = jnp.zeros((nq, n_blocks), jnp.int32)  # postings left at block
-    for t in range(s):
-        in_t = (blk >= blk_cum[:, t : t + 1]) & (
-            blk < blk_cum[:, t + 1 : t + 2]
-        )
-        off_t = (blk - blk_cum[:, t : t + 1]) * BLOCK
-        a_b = a_b + jnp.where(in_t, coeff[:, t : t + 1], 0.0)
-        rem_b = rem_b + jnp.where(in_t, lens[:, t : t + 1] - off_t, 0)
-    lane = jnp.arange(BLOCK, dtype=jnp.int32)[None, None, :]
-    valid = (lane < rem_b[:, :, None]).reshape(nq, n_blocks * BLOCK)
-    a = jnp.broadcast_to(
-        a_b[:, :, None], (nq, n_blocks, BLOCK)
-    ).reshape(nq, n_blocks * BLOCK)
-
-    ci_f = jnp.round((a * v) * scale)
-    ci = jnp.clip(ci_f, 0.0, clip).astype(jnp.int32)
-    ci = jnp.where(valid, ci, 0)
-    d_key = jnp.where(valid, d, n_docs)
     return rank_candidates(d_key, ci, doc_base, s, k, n_docs)

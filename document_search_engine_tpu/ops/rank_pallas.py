@@ -51,10 +51,12 @@ def _roll(x, sh: int, axis: int):
     return pltpu.roll(x, sh, axis=axis)
 
 
-def _rank_kernel(d_ref, ci_ref, vals_ref, docs_ref, *, block: int, s: int,
-                 k: int, n_docs: int):
-    d = d_ref[0]  # (R, 128) int32, flat index f = r*128 + l
-    ci = ci_ref[0]
+def merge_rank_body(d, ci, *, block: int, s: int, k: int, n_docs: int):
+    """The shared in-VMEM rank pipeline on (R, 128) values: bitonic merge
+    of the pre-sorted `block`-runs, segmented run-sums, iterative top-k.
+    Returns (vals, docs) as (1, LANES) lane vectors (first k lanes used).
+    Used by the standalone rank kernel below and the fused
+    DMA-pack+score+rank kernel (ops/fused_pallas.py)."""
     r_dim = d.shape[0]
     c_total = r_dim * LANES
     r_idx = jax.lax.broadcasted_iota(jnp.int32, (r_dim, LANES), 0)
@@ -143,6 +145,14 @@ def _rank_kernel(d_ref, ci_ref, vals_ref, docs_ref, *, block: int, s: int,
         vals_out = jnp.where((lane == t) & hit, m, vals_out)
         docs_out = jnp.where((lane == t) & hit, sel, docs_out)
         cand = jnp.where((cand == m) & (d == sel), jnp.int32(-1), cand)
+    return vals_out, docs_out
+
+
+def _rank_kernel(d_ref, ci_ref, vals_ref, docs_ref, *, block: int, s: int,
+                 k: int, n_docs: int):
+    vals_out, docs_out = merge_rank_body(
+        d_ref[0], ci_ref[0], block=block, s=s, k=k, n_docs=n_docs
+    )
     vals_ref[0] = vals_out
     docs_ref[0] = docs_out
 

@@ -14,6 +14,22 @@ from __future__ import annotations
 import numpy as np
 
 
+def block_plan(
+    indptr: np.ndarray,
+    rows: np.ndarray,
+    found: np.ndarray,
+    block: int = 512,
+) -> int:
+    """Static n_blocks for a batch: max per-query sum of ceil(len/block),
+    pow-2 bucketed (bounds recompiles)."""
+    if len(indptr) < 2 or rows.size == 0:
+        return 1
+    lens = (indptr[rows + 1] - indptr[rows]) * found
+    nblk = -(-lens // block)  # ceil
+    m = int(nblk.sum(axis=1).max())
+    return max(1, 1 << int(np.ceil(np.log2(max(m, 1)))))
+
+
 def blocks_per_query(
     indptr: np.ndarray, rows: np.ndarray, found: np.ndarray, block: int
 ) -> np.ndarray:

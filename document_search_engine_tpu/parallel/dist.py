@@ -22,14 +22,8 @@ from jax import shard_map
 from ..config import IndexConfig
 from ..engine.query import QueryFrontend, segment_rows
 from ..index import builder
-from ..index.csr import (
-    NNZ_SLICE_MARGIN,
-    GlobalStats,
-    merge_stats,
-    round_up,
-)
+from ..index.csr import GlobalStats, merge_stats, round_up
 from ..ops.schedule import blocks_per_query, bucket_queries
-from ..ops.packed import search_packed_ds
 from ..ops.topk import merge_candidates
 from ..oracle import spec
 from .mesh import DOCS_AXIS, make_mesh
@@ -39,10 +33,13 @@ F32 = np.float32
 
 @dataclass
 class ShardedIndex:
-    """Stacked per-shard CSR arrays; axis 0 is the `docs` mesh axis."""
+    """Stacked per-shard aligned posting planes; axis 0 is the `docs`
+    mesh axis (see index/csr.py SegmentDevice for the plane layout)."""
 
-    indptr: jnp.ndarray  # (n_shards, T_pad+1) i32
-    post_rec: jnp.ndarray  # (n_shards, nnz_pad, 2) i32 [doc, bitcast(val)]
+    indptr: jnp.ndarray  # (n_shards, T_pad+1) i32 — true lengths
+    row_start: jnp.ndarray  # (n_shards, T_pad) i32 — aligned row starts
+    post_doc: jnp.ndarray  # (n_shards, X, 128) i32
+    post_val: jnp.ndarray  # (n_shards, X, 128) i32 bitcast f32
     alive: jnp.ndarray  # (n_shards, D_pad) bool
     doc_base: jnp.ndarray  # (n_shards, 1) i32
     hosts: list  # per-shard SegmentHost (numpy metadata)
@@ -59,25 +56,32 @@ def assemble_sharded(hosts, config: IndexConfig, mesh: Mesh) -> ShardedIndex:
     n_shards = len(hosts)
     stats = merge_stats(hosts)
     t_pad = max(h.n_terms for h in hosts)
-    nnz_pad = max(
-        round_up(
-            max(len(h.post_doc) for h in hosts) + NNZ_SLICE_MARGIN,
-            config.nnz_pad_to,
-        ),
-        config.nnz_pad_to,
-    )
     d_pad = round_up(max(h.n_docs for h in hosts) + 1, config.docs_pad_to)
+    geoms = [
+        builder.aligned_geometry(h.indptr, config.nnz_pad_to)
+        for h in hosts
+    ]
+    x_rows = max(x for _, x in geoms)
 
     ip = np.zeros((n_shards, t_pad + 1), np.int32)
-    pr = np.zeros((n_shards, nnz_pad, 2), np.int32)
+    rs = np.zeros((n_shards, t_pad), np.int32)
+    pd = np.zeros((n_shards, x_rows, 128), np.int32)
+    pv = np.zeros((n_shards, x_rows, 128), np.int32)
     al = np.zeros((n_shards, d_pad), bool)
     cap_hint = 1
-    for i, h in enumerate(hosts):
+    for i, (h, (row_start, xr)) in enumerate(zip(hosts, geoms)):
+        h.row_start = row_start
         vals, _inv_norm = builder.segment_vals(h, config, stats)
         indptr = h.indptr
         ip[i, : len(indptr)] = indptr
         ip[i, len(indptr) :] = indptr[-1] if len(indptr) else 0
-        pr[i] = builder._make_rec(h.post_doc, vals, nnz_pad, h.n_docs)
+        rs[i, : len(row_start)] = row_start
+        d2, v2, _t2 = builder._host_planes(
+            h.post_doc, vals, h.post_tf, indptr, row_start, x_rows,
+            h.n_docs,
+        )
+        pd[i] = d2
+        pv[i] = v2
         al[i, : h.n_docs] = h.alive
         if len(indptr) > 1:
             cap_hint = max(cap_hint, int(np.diff(indptr).max()))
@@ -85,7 +89,9 @@ def assemble_sharded(hosts, config: IndexConfig, mesh: Mesh) -> ShardedIndex:
     shard0 = NamedSharding(mesh, P(DOCS_AXIS))
     return ShardedIndex(
         indptr=jax.device_put(ip, shard0),
-        post_rec=jax.device_put(pr, shard0),
+        row_start=jax.device_put(rs, shard0),
+        post_doc=jax.device_put(pd, shard0),
+        post_val=jax.device_put(pv, shard0),
         alive=jax.device_put(al, shard0),
         doc_base=jax.device_put(
             np.array(
@@ -121,95 +127,67 @@ def build_sharded(
 
 @partial(
     jax.jit,
-    static_argnames=("k", "meta", "d_pad", "block", "rank_pallas", "mesh_"),
+    static_argnames=(
+        "k", "plan", "d_pad", "scale", "clip", "mode", "interpret",
+        "mesh_",
+    ),
 )
-def _sharded_search_fused(
-    indptr,
-    post_rec,
-    doc_base,
-    r_all,  # (n_shards, B_total, s) i32 — all buckets, concatenated
-    a_all,  # (n_shards, B_total, s) f32
-    scale,
-    clip,
+def _sharded_batch_step(
+    post_doc,  # (n_shards, X, 128) i32 aligned doc planes
+    post_val,  # (n_shards, X, 128) i32 aligned bitcast-f32 val planes
+    doc_base,  # (n_shards, 1) i32
+    srcrows,  # tuple of per-bucket (n_shards, bq, 1, NB) i32 plan tables
+    rems,  # tuple of per-bucket (n_shards, bq, 1, NB) i32
+    abits,  # tuple of per-bucket (n_shards, bq, 1, NB) i32
     k: int,
-    meta,  # static: ((off, bq, n_blocks), ...) bucket layout
+    plan,  # static: (s, ((n_blocks, block), ...)) bucket layout
     d_pad: int,
-    block: int,
-    rank_pallas: bool,
+    scale: float,
+    clip: float,
+    mode: str,  # "fused" | "xla" | "xla_rank"
+    interpret: bool,
     mesh_: Mesh,
 ):
-    """One SPMD dispatch for a whole query batch: every bucket's packed
-    scorer runs inside the same program, candidates are concatenated and
-    a single `all_gather` + replicated merge produces the global top-k
-    (round-1 VERDICT: the per-bucket launches + per-bucket device_puts
-    were the sharded path's main overhead)."""
+    """One SPMD dispatch for a whole query batch: every bucket's scorer
+    (fused Pallas kernel on TPU meshes, its bit-identical XLA twin
+    elsewhere) runs inside the same program per shard, candidates are
+    concatenated, and a single `all_gather` over ICI + replicated merge
+    produce the global top-k."""
+    from ..ops.fused_pallas import fused_search_pallas
+    from ..ops.packed import search_packed_tables
 
-    def local(ip, pr, base, r, a):
-        ip, pr = ip[0], pr[0]
-        r, a = r[0], a[0]
+    s, buckets = plan
+
+    def local(pd, pv, base, srs, rms, abs_):
+        pd, pv = pd[0], pv[0]
         parts_v, parts_g = [], []
-        for off, bq, n_blocks in meta:
-            r_b = jax.lax.slice_in_dim(r, off, off + bq, axis=0)
-            a_b = jax.lax.slice_in_dim(a, off, off + bq, axis=0)
-            v, g = search_packed_ds(
-                pr, ip, r_b, a_b, scale, clip, base[0, 0],
-                n_blocks=n_blocks, k=k, n_docs=d_pad - 1, block=block,
-                use_rank_pallas=rank_pallas,
-            )
+        for bi, (n_blocks, block) in enumerate(buckets):
+            sr, rm, ab = srs[bi][0], rms[bi][0], abs_[bi][0]
+            # d_pad-1 is a safe uniform local sentinel: every shard's
+            # real local ids are <= d_pad-2 (d_pad >= max local docs + 1)
+            if mode == "fused" and k <= 128:
+                v, dloc = fused_search_pallas(
+                    pd, pv, sr, rm, ab,
+                    n_blocks=n_blocks, block=block, s=s, k=k,
+                    n_docs=d_pad - 1, scale=scale, clip=clip,
+                    interpret=interpret,
+                )
+                g = jnp.where(v > 0, dloc + base[0, 0], -1)
+            else:
+                v, g = search_packed_tables(
+                    pd, pv, sr, rm, ab,
+                    jnp.float32(scale), jnp.float32(clip), base[0, 0],
+                    n_blocks=n_blocks, block=block, s=s, k=k,
+                    n_docs=d_pad - 1,
+                    use_rank_pallas=(mode == "xla_rank"),
+                    rank_interpret=interpret,
+                )
             parts_v.append(v)
             parts_g.append(g)
         vals = jnp.concatenate(parts_v, axis=0)  # (B_total, k)
         gids = jnp.concatenate(parts_g, axis=0)
         # ICI boundary: one gather of every shard's candidates per batch.
         vals_g = jax.lax.all_gather(vals, DOCS_AXIS)  # (S, B_total, k)
-        gids_g = jax.lax.all_gather(gids, DOCS_AXIS)
-        nq = vals.shape[0]
-        vals_c = jnp.swapaxes(vals_g, 0, 1).reshape(nq, -1)
-        gids_c = jnp.swapaxes(gids_g, 0, 1).reshape(nq, -1)
-        mv, mg = merge_candidates(vals_c, gids_c, k=k)
-        return mv[None], mg[None]
-
-    sh = P(DOCS_AXIS)
-    vals_all, gids_all = shard_map(
-        local,
-        mesh=mesh_,
-        in_specs=(sh, sh, sh, sh, sh),
-        out_specs=(sh, sh),
-    )(indptr, post_rec, doc_base, r_all, a_all)
-    return vals_all[0], gids_all[0]
-
-
-@partial(
-    jax.jit,
-    static_argnames=("k", "cap", "d_pad", "mesh_"),
-)
-def _sharded_search_step(
-    indptr,
-    post_rec,
-    doc_base,
-    rows,
-    coeff,
-    scale,
-    clip,
-    k: int,
-    cap: int,  # packed total budget (uniform max across shards)
-    d_pad: int,
-    mesh_: Mesh,
-):
-    """One SPMD search step (DESIGN.md §5): runs identically on every
-    shard; output is the replicated global top-k."""
-
-    def local(ip, pr, base, r, a):
-        ip, pr = ip[0], pr[0]
-        r, a = r[0], a[0]
-        # d_pad-1 is a safe uniform local sentinel: every shard's real
-        # local ids are <= d_pad-2 (d_pad >= max local docs + 1).
-        vals, gids = search_packed_ds(
-            pr, ip, r, a, scale, clip, base[0, 0],
-            n_blocks=cap, k=k, n_docs=d_pad - 1, block=512,
-        )
-        # ICI boundary: gather every shard's candidates, merge everywhere.
-        vals_g = jax.lax.all_gather(vals, DOCS_AXIS)  # (S, nq, k)
         gids_g = jax.lax.all_gather(gids, DOCS_AXIS)
         nq = vals.shape[0]
         vals_c = jnp.swapaxes(vals_g, 0, 1).reshape(nq, -1)
@@ -224,9 +202,9 @@ def _sharded_search_step(
     vals_all, gids_all = shard_map(
         local,
         mesh=mesh_,
-        in_specs=(sh, sh, sh, sh, sh),
+        in_specs=(sh, sh, sh, sh, sh, sh),
         out_specs=(sh, sh),
-    )(indptr, post_rec, doc_base, rows, coeff)
+    )(post_doc, post_val, doc_base, srcrows, rems, abits)
     # (n_shards, nq, k) of identical replicas -> one copy.
     return vals_all[0], gids_all[0]
 
@@ -240,8 +218,9 @@ class DistributedSearchEngine:
         self.mesh = mesh or make_mesh()
         self.frontend = QueryFrontend(self.config)
         self.index: ShardedIndex | None = None
-        # None = auto (Pallas rank kernel on TPU meshes, XLA elsewhere)
-        self.use_rank_pallas: bool | None = None
+        # None = auto ("fused" Pallas kernel on TPU meshes, "xla"
+        # elsewhere); "xla_rank" = XLA pack + Pallas rank kernel
+        self.scorer: str | None = None
 
     def build(self, texts) -> None:
         self.index = build_sharded(texts, self.config, self.mesh)
@@ -321,12 +300,17 @@ class DistributedSearchEngine:
         return load_sharded(path, mesh=mesh)
 
     @property
-    def rank_kernel_active(self) -> bool:
-        """Whether the fused Pallas rank kernel runs inside the SPMD step
-        (auto: on TPU meshes only; both paths bit-identical — tested)."""
-        if self.use_rank_pallas is not None:
-            return self.use_rank_pallas
-        return self.mesh.devices.flat[0].platform == "tpu"
+    def scorer_mode(self) -> str:
+        """Active scorer inside the SPMD step: "fused" (Pallas
+        DMA+score+rank kernel, TPU-mesh default), "xla", or "xla_rank".
+        All modes bit-identical (tested)."""
+        if self.scorer is not None:
+            return self.scorer
+        return (
+            "fused"
+            if self.mesh.devices.flat[0].platform == "tpu"
+            else "xla"
+        )
 
     def search(self, queries, k: int = 10):
         if k < 1:
@@ -366,9 +350,11 @@ class DistributedSearchEngine:
 
     def _dispatch(self, queries, k: int):
         """Host planning + ONE fused SPMD dispatch for a query batch:
-        buckets staged into a single (n_shards, B_total, s) pair (one
-        sharded device_put each), all buckets + the all-gather merge in
-        one XLA program."""
+        per-bucket DMA plan tables staged per shard (one sharded
+        device_put each), all buckets + the all-gather merge in one XLA
+        program."""
+        from ..ops.fused_pallas import plan_tables
+
         idx = self.index
         nq = len(queries)
         slot_h, coeff = self.frontend.analyze(queries, idx.stats)
@@ -380,58 +366,69 @@ class DistributedSearchEngine:
         rows = np.zeros((n_shards, nq, s), np.int32)
         coeffs = np.zeros((n_shards, nq, s), F32)
         # per-query block budget = max over shards (uniform SPMD shapes)
+        block = 512
         nblk_q = np.zeros(nq, np.int64)
         for i, h in enumerate(idx.hosts):
             r, found = segment_rows(h.term_hash, slot_h)
             rows[i] = r
             coeffs[i] = np.where(found, coeff, F32(0.0))
             nblk_q = np.maximum(
-                nblk_q, blocks_per_query(h.indptr, r, found, 512)
+                nblk_q, blocks_per_query(h.indptr, r, found, block)
             )
         sc = self.config.scoring
-        scale = jnp.float32(2.0**sc.scale_bits)
-        clip = jnp.float32(
-            int(spec.quant_clip_max(self.config.max_query_terms))
+        scale = float(F32(2.0**sc.scale_bits))
+        clip = float(
+            F32(int(spec.quant_clip_max(self.config.max_query_terms)))
         )
-        buckets = bucket_queries(nblk_q)
-        b_total = sum(
-            1 << int(np.ceil(np.log2(max(len(iq), 1)))) for iq, _ in buckets
-        )
-        r_all = np.zeros((n_shards, b_total, s), np.int32)
-        a_all = np.zeros((n_shards, b_total, s), F32)
-        meta, idxs = [], []
-        off = 0
-        for idx_q, n_blocks in buckets:
-            bq = 1 << int(np.ceil(np.log2(max(len(idx_q), 1))))
-            r_all[:, off : off + len(idx_q)] = rows[:, idx_q]
-            a_all[:, off : off + len(idx_q)] = coeffs[:, idx_q]
-            meta.append((off, bq, n_blocks))
-            idxs.append(idx_q)
-            off += bq
         shard0 = NamedSharding(self.mesh, P(DOCS_AXIS))
-        vals, gids = _sharded_search_fused(
-            idx.indptr,
-            idx.post_rec,
+        buckets = []
+        srcrows, rems, abits = [], [], []
+        idxs = []
+        for idx_q, n_blocks in bucket_queries(nblk_q):
+            bq = 1 << int(np.ceil(np.log2(max(len(idx_q), 1))))
+            sr = np.zeros((n_shards, bq, 1, n_blocks), np.int32)
+            rm = np.zeros((n_shards, bq, 1, n_blocks), np.int32)
+            ab = np.zeros((n_shards, bq, 1, n_blocks), np.int32)
+            for i, h in enumerate(idx.hosts):
+                r_sub = np.zeros((bq, s), np.int32)
+                a_sub = np.zeros((bq, s), F32)
+                r_sub[: len(idx_q)] = rows[i, idx_q]
+                a_sub[: len(idx_q)] = coeffs[i, idx_q]
+                sr[i], rm[i], ab[i] = plan_tables(
+                    h.row_start, h.indptr, r_sub, a_sub, n_blocks, block
+                )
+            srcrows.append(jax.device_put(sr, shard0))
+            rems.append(jax.device_put(rm, shard0))
+            abits.append(jax.device_put(ab, shard0))
+            buckets.append((n_blocks, block))
+            idxs.append(idx_q)
+        vals, gids = _sharded_batch_step(
+            idx.post_doc,
+            idx.post_val,
             idx.doc_base,
-            jax.device_put(r_all, shard0),
-            jax.device_put(a_all, shard0),
-            scale,
-            clip,
+            tuple(srcrows),
+            tuple(rems),
+            tuple(abits),
             k=k,
-            meta=tuple(meta),
+            plan=(s, tuple(buckets)),
             d_pad=idx.d_pad,
-            block=512,
-            rank_pallas=self.rank_kernel_active,
+            scale=scale,
+            clip=clip,
+            mode=self.scorer_mode,
+            interpret=False,
             mesh_=self.mesh,
         )
-        return vals, gids, meta, idxs, nq, k
+        return vals, gids, idxs, nq, k
 
     def _collect(self, fut):
-        vals, gids, meta, idxs, nq, k = fut
+        vals, gids, idxs, nq, k = fut
         out_g = np.full((nq, k), -1, np.int64)
         out_v = np.full((nq, k), -1, np.int64)
         gids_h, vals_h = np.asarray(gids), np.asarray(vals)
-        for (off, _bq, _nb), idx_q in zip(meta, idxs):
+        off = 0
+        for idx_q in idxs:
+            bq = 1 << int(np.ceil(np.log2(max(len(idx_q), 1))))
             out_g[idx_q] = gids_h[off : off + len(idx_q)]
             out_v[idx_q] = vals_h[off : off + len(idx_q)]
+            off += bq
         return out_g, out_v

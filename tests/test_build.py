@@ -54,12 +54,15 @@ def test_build_segment_csr_roundtrip():
     assert host.n_docs == 3
     T = host.n_terms
     indptr = np.asarray(dev.indptr)
-    post_doc = np.asarray(dev.post_rec)[:, 0]
-    post_tf = host.post_tf  # raw tf lives host-side
-    # reconstruct dense matrix and check tf counts
+    row_start = np.asarray(dev.row_start)
+    post_doc = np.asarray(dev.post_doc).reshape(-1)
+    post_tf = np.asarray(dev.post_tf).reshape(-1)
+    # reconstruct dense matrix and check tf counts (aligned layout:
+    # row r's postings live at row_start[r] + [0, len_r))
     dense = np.zeros((T, 3))
     for t in range(T):
-        for p in range(indptr[t], indptr[t + 1]):
+        for i in range(indptr[t + 1] - indptr[t]):
+            p = row_start[t] + i
             dense[t, post_doc[p]] = post_tf[p]
     assert dense.sum() == 4 + 2 + 1
     # df from CSR matches host df
@@ -104,7 +107,13 @@ def test_device_build_matches_host_build():
         np.testing.assert_array_equal(dh.indptr, hh.indptr)
         np.testing.assert_array_equal(dh.df, hh.df)
         np.testing.assert_array_equal(
-            np.asarray(dd.post_rec), np.asarray(hd.post_rec), kind
+            np.asarray(dd.post_doc), np.asarray(hd.post_doc), kind
+        )
+        np.testing.assert_array_equal(
+            np.asarray(dd.post_val), np.asarray(hd.post_val), kind
+        )
+        np.testing.assert_array_equal(
+            np.asarray(dd.row_start), np.asarray(hd.row_start), kind
         )
         di, ds = dev_e.search(queries, k=10)
         hi, hs = host_e.search(queries, k=10)

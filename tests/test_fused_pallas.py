@@ -1,0 +1,102 @@
+"""The fused DMA-pack+score+rank kernel must equal the XLA paths
+bit-for-bit on the same plan tables (interpret mode on CPU; the same
+comparison runs on hardware in test_tpu_smoke.py)."""
+import jax.numpy as jnp
+import numpy as np
+
+from document_search_engine_tpu.ops.fused_pallas import (
+    fused_search,
+    plan_tables,
+)
+from document_search_engine_tpu.ops.packed import (
+    search_packed,
+    search_packed_tables,
+    total_cap,
+)
+from document_search_engine_tpu.ops.schedule import block_plan
+from test_packed import make_aligned
+
+
+def _csr(rng, n_terms, n_docs, max_len):
+    lens = rng.integers(1, max_len, n_terms)
+    indptr64 = np.zeros(n_terms + 1, np.int64)
+    np.cumsum(lens, out=indptr64[1:])
+    nnz = int(indptr64[-1])
+    parts = [
+        np.sort(rng.choice(n_docs, size=l, replace=False).astype(np.int32))
+        for l in lens
+    ]
+    post_doc = np.concatenate(parts)
+    post_val = rng.random(nnz, dtype=np.float32) * 0.9 + 0.05
+    return indptr64.astype(np.int32), post_doc, post_val, nnz
+
+
+def test_fused_kernel_matches_xla_paths():
+    rng = np.random.default_rng(41)
+    n_terms, n_docs = 20, 2500
+    indptr, post_doc, post_val, nnz = _csr(rng, n_terms, n_docs, 1500)
+    d2, v2, row_start = make_aligned(indptr, post_doc, post_val, n_docs)
+    for blocksize in (256, 512):
+        nq, s = 6, 4
+        rows = rng.integers(0, n_terms, (nq, s)).astype(np.int32)
+        coeff = rng.random((nq, s)).astype(np.float32) * 1.5
+        coeff[2, 1] = 0.0  # a missing slot
+        scale = float(np.float32(2.0**16))
+        clip = float(np.float32(65075262.0))
+        found = coeff > 0
+        nb = block_plan(indptr, rows, found, block=blocksize)
+        # gather-path reference
+        c = total_cap(indptr, rows, found)
+        pd = np.concatenate(
+            [post_doc, np.full(blocksize, n_docs, np.int32)]
+        )
+        pv = np.concatenate([post_val, np.zeros(blocksize, np.float32)])
+        ref = search_packed(
+            jnp.asarray(indptr), jnp.asarray(pd), jnp.asarray(pv),
+            jnp.asarray(rows), jnp.asarray(coeff),
+            jnp.float32(scale), jnp.float32(clip), jnp.int32(50),
+            c_total=c, k=10, n_docs=n_docs,
+        )
+        got = fused_search(
+            jnp.asarray(d2), jnp.asarray(v2), row_start, indptr,
+            rows, coeff, doc_base=50, n_blocks=nb, block=blocksize,
+            k=10, n_docs=n_docs, scale=scale, clip=clip, interpret=True,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got[0]), np.asarray(ref[0]), f"vals blk={blocksize}"
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got[1]), np.asarray(ref[1]), f"gids blk={blocksize}"
+        )
+
+
+def test_fused_kernel_empty_and_missing_slots():
+    rng = np.random.default_rng(43)
+    n_terms, n_docs = 8, 300
+    indptr, post_doc, post_val, nnz = _csr(rng, n_terms, n_docs, 200)
+    d2, v2, row_start = make_aligned(indptr, post_doc, post_val, n_docs)
+    nq, s, blocksize = 3, 2, 256
+    rows = np.zeros((nq, s), np.int32)
+    coeff = np.zeros((nq, s), np.float32)
+    coeff[0, 0] = 1.0  # one active slot; rows 1-2 fully empty
+    nb = block_plan(indptr, rows, coeff > 0, block=blocksize)
+    scale = float(np.float32(2.0**16))
+    clip = float(np.float32(65075262.0))
+    vals, gids = fused_search(
+        jnp.asarray(d2), jnp.asarray(v2), row_start, indptr, rows,
+        coeff, doc_base=0, n_blocks=nb, block=blocksize, k=5,
+        n_docs=n_docs, scale=scale, clip=clip, interpret=True,
+    )
+    vals, gids = np.asarray(vals), np.asarray(gids)
+    assert (vals[1:] == -1).all() and (gids[1:] == -1).all()
+    assert (vals[0] > 0).any()
+    # plan-table twin agrees
+    sr, rm, ab = plan_tables(row_start, indptr, rows, coeff, nb, blocksize)
+    tv, tg = search_packed_tables(
+        jnp.asarray(d2), jnp.asarray(v2), jnp.asarray(sr),
+        jnp.asarray(rm), jnp.asarray(ab), jnp.float32(scale),
+        jnp.float32(clip), jnp.int32(0), n_blocks=nb, block=blocksize,
+        s=s, k=5, n_docs=n_docs,
+    )
+    np.testing.assert_array_equal(vals, np.asarray(tv))
+    np.testing.assert_array_equal(gids, np.asarray(tg))

@@ -88,89 +88,47 @@ def test_packed_duplicate_term_rows_and_empty():
     np.testing.assert_array_equal(g[0], np.asarray(ref_g)[0])
 
 
-def test_packed_rec_matches_packed():
-    """Pallas-DMA-packed variant must equal the gather-packed path
-    bit-for-bit (interpret mode on CPU)."""
-    import jax
-
-    from document_search_engine_tpu.ops.pack_pallas import (
-        block_plan,
-        interleave_postings,
+def make_aligned(indptr, post_doc, post_val, n_docs):
+    """Aligned (X, 128) planes + row_start from contiguous CSR arrays
+    (the builder's device layout)."""
+    from document_search_engine_tpu.index.builder import (
+        _host_planes,
+        aligned_geometry,
     )
-    from document_search_engine_tpu.ops.packed import search_packed_rec
 
-    rng = np.random.default_rng(11)
-    n_terms, n_docs = 30, 5000
-    # some long rows to exercise multi-block slots
-    lens = rng.integers(1, 6000, n_terms)
-    indptr = np.zeros(n_terms + 1, np.int64)
-    np.cumsum(lens, out=indptr[1:])
-    nnz = int(indptr[-1])
-    post_doc = np.sort(
-        rng.integers(0, n_docs, nnz).astype(np.int32).reshape(1, -1), axis=1
-    ).ravel()
-    # re-sort within rows
-    parts = [
-        np.sort(rng.integers(0, n_docs, l).astype(np.int32)) for l in lens
-    ]
-    post_doc = np.concatenate(parts)
-    post_val = (rng.random(nnz, dtype=np.float32) * 0.9 + 0.05).astype(
-        np.float32
+    row_start, x_rows = aligned_geometry(indptr, 1)
+    tf = np.ones(int(indptr[-1]), np.int32)
+    d2, v2, _ = _host_planes(
+        post_doc, post_val, tf, indptr, row_start, x_rows, n_docs
     )
-    indptr = indptr.astype(np.int32)
-    nq, s = 4, 4
-    rows = rng.integers(0, n_terms, (nq, s)).astype(np.int32)
-    coeff = (rng.random((nq, s)).astype(np.float32) * 1.5)
-    coeff[0, 2] = 0.0
-    scale, clip = jnp.float32(2.0**16), jnp.float32(65075262)
-    found = coeff > 0
+    return d2, v2, row_start.astype(np.int32)
 
-    c = total_cap(indptr, rows, found)
-    ref = search_packed(
-        jnp.asarray(indptr), jnp.asarray(post_doc), jnp.asarray(post_val),
-        jnp.asarray(rows), jnp.asarray(coeff), scale, clip, jnp.int32(7),
-        c_total=c, k=12, n_docs=n_docs,
+
+def test_packed_ds_and_tables_match_packed():
+    """The dynamic-slice (aligned-plane) variant and the plan-table XLA
+    twin must equal the gather path exactly."""
+    from document_search_engine_tpu.ops.fused_pallas import plan_tables
+    from document_search_engine_tpu.ops.packed import (
+        search_packed_ds,
+        search_packed_tables,
     )
-    from document_search_engine_tpu.ops.pack_pallas import BLOCK
-
-    nnz_pad = ((nnz + BLOCK - 1) // BLOCK + 1) * BLOCK
-    rec = interleave_postings(
-        np.concatenate([post_doc, np.full(nnz_pad - nnz, n_docs, np.int32)]),
-        np.concatenate([post_val, np.zeros(nnz_pad - nnz, np.float32)]),
-    )
-    nb = block_plan(indptr, rows, found)
-    got = search_packed_rec(
-        rec, jnp.asarray(indptr), jnp.asarray(rows), jnp.asarray(coeff),
-        scale, clip, jnp.int32(7), n_blocks=nb, k=12, n_docs=n_docs,
-        interpret=True,
-    )
-    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
-    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(ref[1]))
-
-
-def test_packed_ds_matches_packed():
-    """dynamic-slice packing variant must equal the gather path exactly."""
-    from document_search_engine_tpu.ops.pack_pallas import block_plan
-    from document_search_engine_tpu.ops.packed import search_packed_ds
+    from document_search_engine_tpu.ops.schedule import block_plan
 
     rng = np.random.default_rng(21)
     n_terms, n_docs = 25, 3000
-    lens = rng.integers(1, 4000, n_terms)
+    lens = rng.integers(1, 2500, n_terms)
     indptr64 = np.zeros(n_terms + 1, np.int64)
     np.cumsum(lens, out=indptr64[1:])
     nnz = int(indptr64[-1])
     parts = [
-        np.sort(rng.integers(0, n_docs, l).astype(np.int32)) for l in lens
+        np.sort(rng.choice(n_docs, size=l, replace=False).astype(np.int32))
+        for l in lens
     ]
     post_doc = np.concatenate(parts)
-    post_val = (rng.random(nnz, dtype=np.float32) * 0.9 + 0.05)
+    post_val = rng.random(nnz, dtype=np.float32) * 0.9 + 0.05
     indptr = indptr64.astype(np.int32)
+    d2, v2, row_start = make_aligned(indptr, post_doc, post_val, n_docs)
     for blocksize in (512, 2048):
-        nnz_pad = nnz + blocksize
-        pd = np.concatenate(
-            [post_doc, np.full(nnz_pad - nnz, n_docs, np.int32)]
-        )
-        pv = np.concatenate([post_val, np.zeros(nnz_pad - nnz, np.float32)])
         nq, s = 5, 3
         rows = rng.integers(0, n_terms, (nq, s)).astype(np.int32)
         coeff = (rng.random((nq, s)).astype(np.float32) * 1.5)
@@ -178,18 +136,37 @@ def test_packed_ds_matches_packed():
         scale, clip = jnp.float32(2.0**16), jnp.float32(65075262)
         found = coeff > 0
         c = total_cap(indptr, rows, found)
+        nnz_pad = nnz + blocksize
+        pd = np.concatenate(
+            [post_doc, np.full(nnz_pad - nnz, n_docs, np.int32)]
+        )
+        pv = np.concatenate([post_val, np.zeros(nnz_pad - nnz, np.float32)])
         ref = search_packed(
             jnp.asarray(indptr), jnp.asarray(pd), jnp.asarray(pv),
             jnp.asarray(rows), jnp.asarray(coeff), scale, clip,
             jnp.int32(100), c_total=c, k=15, n_docs=n_docs,
         )
         nb = block_plan(indptr, rows, found, block=blocksize)
-        rec = np.stack([pd, pv.view(np.int32)], axis=1)
         got = search_packed_ds(
-            jnp.asarray(rec), jnp.asarray(indptr),
-            jnp.asarray(rows), jnp.asarray(coeff), scale, clip,
-            jnp.int32(100), n_blocks=nb, k=15, n_docs=n_docs,
-            block=blocksize,
+            jnp.asarray(d2), jnp.asarray(v2), jnp.asarray(indptr),
+            jnp.asarray(row_start), jnp.asarray(rows), jnp.asarray(coeff),
+            scale, clip, jnp.int32(100), n_blocks=nb, k=15,
+            n_docs=n_docs, block=blocksize,
         )
         np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
         np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(ref[1]))
+        sr, rm, ab = plan_tables(
+            row_start, indptr, rows, coeff, nb, blocksize
+        )
+        got_t = search_packed_tables(
+            jnp.asarray(d2), jnp.asarray(v2), jnp.asarray(sr),
+            jnp.asarray(rm), jnp.asarray(ab), scale, clip,
+            jnp.int32(100), n_blocks=nb, block=blocksize, s=s, k=15,
+            n_docs=n_docs,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got_t[0]), np.asarray(ref[0])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got_t[1]), np.asarray(ref[1])
+        )

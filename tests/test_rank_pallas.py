@@ -99,8 +99,9 @@ def test_rank_pallas_ties_and_empty():
 def test_search_packed_ds_with_rank_pallas():
     """End-to-end: search_packed_ds(use_rank_pallas=True) equals the XLA
     rank path bit-for-bit on randomized CSR inputs."""
-    from document_search_engine_tpu.ops.pack_pallas import block_plan
     from document_search_engine_tpu.ops.packed import search_packed_ds
+    from document_search_engine_tpu.ops.schedule import block_plan
+    from test_packed import make_aligned
 
     rng = np.random.default_rng(29)
     n_terms, n_docs = 25, 3000
@@ -120,13 +121,8 @@ def test_search_packed_ds_with_rank_pallas():
     post_doc = np.concatenate(parts)
     post_val = rng.random(nnz, dtype=np.float32) * 0.9 + 0.05
     indptr = indptr64.astype(np.int32)
+    d2, v2, row_start = make_aligned(indptr, post_doc, post_val, n_docs)
     for blocksize in (256, 512):
-        nnz_pad = nnz + blocksize
-        pd = np.concatenate(
-            [post_doc, np.full(nnz_pad - nnz, n_docs, np.int32)]
-        )
-        pv = np.concatenate([post_val, np.zeros(nnz_pad - nnz, np.float32)])
-        rec = np.stack([pd, pv.view(np.int32)], axis=1)
         nq, s = 5, 3
         rows = rng.integers(0, n_terms, (nq, s)).astype(np.int32)
         coeff = rng.random((nq, s)).astype(np.float32) * 1.5
@@ -134,9 +130,9 @@ def test_search_packed_ds_with_rank_pallas():
         scale, clip = jnp.float32(2.0**16), jnp.float32(65075262)
         nb = block_plan(indptr, rows, coeff > 0, block=blocksize)
         args = (
-            jnp.asarray(rec), jnp.asarray(indptr),
-            jnp.asarray(rows), jnp.asarray(coeff), scale, clip,
-            jnp.int32(100),
+            jnp.asarray(d2), jnp.asarray(v2), jnp.asarray(indptr),
+            jnp.asarray(row_start), jnp.asarray(rows),
+            jnp.asarray(coeff), scale, clip, jnp.int32(100),
         )
         kw = dict(n_blocks=nb, k=10, n_docs=n_docs, block=blocksize)
         ref = search_packed_ds(*args, **kw)
