@@ -164,6 +164,34 @@ def device_pack(rows, docs, tfs, n_terms: int, n_docs: int):
     return r, d, t, indptr, df, dl
 
 
+def exact_div(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Correctly-rounded f32 division for backends whose hardware divide
+    is not IEEE-exact. TPU lowers f32 div to reciprocal+refine: measured
+    ~35% of quotients differ from numpy's rne(a/b) by 1 ulp, which broke
+    the bm25 bit-parity gate when value materialization moved on-device.
+
+    One residual-correction step: r = a - b*q0 computed exactly via a
+    Veltkamp split / Dekker two-product (12-bit halves multiply exactly
+    in f32), then q = q0 + r/b rounds to the true quotient. Verified
+    against numpy over millions of structured samples on hardware
+    (tests/test_tpu_smoke.py) and a no-op where division is already
+    exact (q0 right => r ~ 0)."""
+    q0 = a / b
+    c = jnp.float32(4097.0)  # Veltkamp split point (2^12 + 1)
+
+    def split(x):
+        t = x * c
+        hi = t - (t - x)
+        return hi, x - hi
+
+    bh, bl = split(b)
+    qh, ql = split(q0)
+    p = b * q0
+    e = ((bh * qh - p) + bh * ql + bl * qh) + bl * ql
+    r = (a - p) - e
+    return q0 + r / b
+
+
 @partial(jax.jit, static_argnames=("kind",))
 def device_materialize_vals(
     post_doc: jnp.ndarray,  # (X, 128) i32 — sentinel n_docs in padding
@@ -192,8 +220,8 @@ def device_materialize_vals(
     tff = post_tf.astype(jnp.float32)
     if kind == "tfidf":
         val = tff * inv_norm[post_doc]
-    else:  # bm25: val = (tf*(k1+1)) / (tf + K[doc])
-        val = (tff * k1p1) / (tff + k_doc[post_doc])
+    else:  # bm25: val = (tf*(k1+1)) / (tf + K[doc]), exactly rounded
+        val = exact_div(tff * k1p1, tff + k_doc[post_doc])
     val = val * alive[post_doc].astype(jnp.float32)
     return jax.lax.bitcast_convert_type(val, jnp.int32)
 
@@ -282,6 +310,26 @@ def host_k_doc(dl: np.ndarray, config: IndexConfig, stats: GlobalStats):
         config.scoring.k1, config.scoring.b, avgdl
     )
     return (c0 + c1 * dl.astype(F32)).astype(F32)
+
+
+def refresh_inputs(
+    host: SegmentHost, config: IndexConfig, stats: GlobalStats
+):
+    """The small per-doc host arrays a device val refresh needs:
+    (k_doc, inv_norm, alive), each (n_docs,) — O(docs) H2D, never
+    O(nnz)."""
+    kind = config.scoring.kind
+    if kind == "tfidf":
+        analyzed = AnalyzedDocs(
+            hashes=host.doc_hashes,
+            tfs=host.doc_tfs,
+            doc_ptr=host.doc_ptr,
+            dl=host.dl,
+        )
+        inv_norm = doc_inv_norms(analyzed, stats, kind)
+    else:
+        inv_norm = np.zeros(host.n_docs, dtype=F32)
+    return host_k_doc(host.dl, config, stats), inv_norm, host.alive
 
 
 def doc_inv_norms(

@@ -40,6 +40,9 @@ class ShardedIndex:
     row_start: jnp.ndarray  # (n_shards, T_pad) i32 — aligned row starts
     post_doc: jnp.ndarray  # (n_shards, X, 128) i32
     post_val: jnp.ndarray  # (n_shards, X, 128) i32 bitcast f32
+    # raw tfs in the same geometry: lets incremental updates
+    # re-materialize vals ON DEVICE (O(docs) H2D, not O(nnz))
+    post_tf: jnp.ndarray  # (n_shards, X, 128) i32
     alive: jnp.ndarray  # (n_shards, D_pad) bool
     doc_base: jnp.ndarray  # (n_shards, 1) i32
     hosts: list  # per-shard SegmentHost (numpy metadata)
@@ -55,18 +58,24 @@ def assemble_sharded(hosts, config: IndexConfig, mesh: Mesh) -> ShardedIndex:
     updates (the device arrays are fully derivable from SegmentHost)."""
     n_shards = len(hosts)
     stats = merge_stats(hosts)
-    t_pad = max(h.n_terms for h in hosts)
+    # ~25% vocab and ~12.5% postings growth headroom so small incremental
+    # adds fit the padded shapes and take the O(delta) last-shard update
+    # instead of a full reassembly (_update_last_shard)
+    t_max = max(h.n_terms for h in hosts)
+    t_pad = round_up(t_max + max(t_max // 4, 64), 64)
     d_pad = round_up(max(h.n_docs for h in hosts) + 1, config.docs_pad_to)
     geoms = [
         builder.aligned_geometry(h.indptr, config.nnz_pad_to)
         for h in hosts
     ]
     x_rows = max(x for _, x in geoms)
+    x_rows = x_rows + max(x_rows // 8, 8)
 
     ip = np.zeros((n_shards, t_pad + 1), np.int32)
     rs = np.zeros((n_shards, t_pad), np.int32)
     pd = np.zeros((n_shards, x_rows, 128), np.int32)
     pv = np.zeros((n_shards, x_rows, 128), np.int32)
+    pt = np.zeros((n_shards, x_rows, 128), np.int32)
     al = np.zeros((n_shards, d_pad), bool)
     cap_hint = 1
     for i, (h, (row_start, xr)) in enumerate(zip(hosts, geoms)):
@@ -76,12 +85,13 @@ def assemble_sharded(hosts, config: IndexConfig, mesh: Mesh) -> ShardedIndex:
         ip[i, : len(indptr)] = indptr
         ip[i, len(indptr) :] = indptr[-1] if len(indptr) else 0
         rs[i, : len(row_start)] = row_start
-        d2, v2, _t2 = builder._host_planes(
+        d2, v2, t2 = builder._host_planes(
             h.post_doc, vals, h.post_tf, indptr, row_start, x_rows,
             h.n_docs,
         )
         pd[i] = d2
         pv[i] = v2
+        pt[i] = t2
         al[i, : h.n_docs] = h.alive
         if len(indptr) > 1:
             cap_hint = max(cap_hint, int(np.diff(indptr).max()))
@@ -92,6 +102,7 @@ def assemble_sharded(hosts, config: IndexConfig, mesh: Mesh) -> ShardedIndex:
         row_start=jax.device_put(rs, shard0),
         post_doc=jax.device_put(pd, shard0),
         post_val=jax.device_put(pv, shard0),
+        post_tf=jax.device_put(pt, shard0),
         alive=jax.device_put(al, shard0),
         doc_base=jax.device_put(
             np.array(
@@ -105,6 +116,35 @@ def assemble_sharded(hosts, config: IndexConfig, mesh: Mesh) -> ShardedIndex:
         d_pad=d_pad,
         cap_hint=cap_hint,
     )
+
+
+@partial(jax.jit, static_argnames=("kind",))
+def _sharded_materialize_vals(
+    post_doc,  # (n_shards, X, 128) i32
+    post_tf,  # (n_shards, X, 128) i32
+    k_doc,  # (n_shards, d_pad) f32
+    inv_norm,  # (n_shards, d_pad) f32
+    alive,  # (n_shards, d_pad) bool
+    k1p1,  # f32 scalar
+    kind: str,
+):
+    """Stacked-shard version of builder.device_materialize_vals: the
+    sharding (docs axis 0) is preserved, so the O(nnz) planes never
+    leave their shards; only the (n_shards, d_pad) inputs were shipped.
+    Same bit-exact formula and the same host-computed K(dl) (see
+    builder.device_materialize_vals for the FMA-contraction rationale).
+    """
+
+    def one(pd, pt, kd, inv, al):
+        tff = pt.astype(jnp.float32)
+        if kind == "tfidf":
+            val = tff * inv[pd]
+        else:
+            val = builder.exact_div(tff * k1p1, tff + kd[pd])
+        val = val * al[pd].astype(jnp.float32)
+        return jax.lax.bitcast_convert_type(val, jnp.int32)
+
+    return jax.vmap(one)(post_doc, post_tf, k_doc, inv_norm, alive)
 
 
 def build_sharded(
@@ -204,6 +244,11 @@ def _sharded_batch_step(
         mesh=mesh_,
         in_specs=(sh, sh, sh, sh, sh, sh),
         out_specs=(sh, sh),
+        # pallas_call outputs carry no vma annotation, which the vma
+        # check rejects; replication is still guaranteed by the
+        # all-gather + identical merge (pinned by the shard-count
+        # invariance tests)
+        check_vma=False,
     )(post_doc, post_val, doc_base, srcrows, rems, abits)
     # (n_shards, nq, k) of identical replicas -> one copy.
     return vals_all[0], gids_all[0]
@@ -261,10 +306,83 @@ class DistributedSearchEngine:
         new_last.alive[: last.n_docs] = last.alive
         # df must count alive docs only — the rebuilt shard counted all
         builder.recompute_alive_df(new_last)
-        self.index = assemble_sharded(
-            hosts[:-1] + [new_last], self.config, self.mesh
-        )
+        new_hosts = hosts[:-1] + [new_last]
+        if not self._update_last_shard(new_last):
+            # grew past the fleet-uniform padded shapes: full reassemble
+            self.index = assemble_sharded(new_hosts, self.config, self.mesh)
+        else:
+            self.index.hosts = new_hosts
+            self._refresh_sharded_vals()
         return list(range(base0, base0 + a_new.n_docs))
+
+    def _update_last_shard(self, new_last) -> bool:
+        """O(shard) in-place device update for an add that fits the
+        existing padded shapes: ship ONE shard's new planes/indptr and
+        dynamic-update the stacked arrays; every other shard's postings
+        stay resident (their idf-dependent vals refresh separately).
+        Returns False when the shard outgrew the allocation."""
+        idx = self.index
+        t_pad = idx.indptr.shape[1] - 1
+        x_rows = idx.post_doc.shape[1]
+        row_start, xr = builder.aligned_geometry(
+            new_last.indptr, self.config.nnz_pad_to
+        )
+        if (
+            new_last.n_terms > t_pad
+            or xr > x_rows
+            or new_last.n_docs + 1 > idx.d_pad
+        ):
+            return False
+        new_last.row_start = row_start
+        d2, _v2, t2 = builder._host_planes(
+            new_last.post_doc,
+            np.zeros(0, np.float32),  # vals follow from the refresh
+            new_last.post_tf,
+            new_last.indptr,
+            row_start,
+            x_rows,
+            new_last.n_docs,
+        )
+        ip = np.zeros(t_pad + 1, np.int32)
+        ip[: len(new_last.indptr)] = new_last.indptr
+        ip[len(new_last.indptr) :] = new_last.indptr[-1]
+        rs = np.zeros(t_pad, np.int32)
+        rs[: len(row_start)] = row_start
+        i = idx.n_shards - 1
+        idx.post_doc = idx.post_doc.at[i].set(d2)
+        idx.post_tf = idx.post_tf.at[i].set(t2)
+        idx.indptr = idx.indptr.at[i].set(ip)
+        idx.row_start = idx.row_start.at[i].set(rs)
+        return True
+
+    def _refresh_sharded_vals(self) -> None:
+        """Device-side val re-materialization for every shard after
+        df/N/avgdl change: ships only (n_shards, d_pad) k_doc/inv_norm/
+        alive — O(docs) H2D, the O(nnz) planes stay resident."""
+        idx = self.index
+        idx.stats = merge_stats(idx.hosts)
+        n_shards, d_pad = idx.n_shards, idx.d_pad
+        kd = np.zeros((n_shards, d_pad), F32)
+        inv = np.zeros((n_shards, d_pad), F32)
+        al = np.zeros((n_shards, d_pad), bool)
+        for i, h in enumerate(idx.hosts):
+            k_doc, inv_norm, alive = builder.refresh_inputs(
+                h, self.config, idx.stats
+            )
+            kd[i, : h.n_docs] = k_doc
+            inv[i, : h.n_docs] = inv_norm
+            al[i, : h.n_docs] = alive
+        shard0 = NamedSharding(self.mesh, P(DOCS_AXIS))
+        idx.alive = jax.device_put(al, shard0)
+        idx.post_val = _sharded_materialize_vals(
+            idx.post_doc,
+            idx.post_tf,
+            jax.device_put(kd, shard0),
+            jax.device_put(inv, shard0),
+            idx.alive,
+            jnp.float32(F32(self.config.scoring.k1 + 1.0)),
+            kind=self.config.scoring.kind,
+        )
 
     def delete_docs(self, global_ids) -> None:
         """Tombstone docs across shards with exact df/N/avgdl updates."""
@@ -286,7 +404,8 @@ class DistributedSearchEngine:
                         changed = True
                     break
         if changed:
-            self.index = assemble_sharded(hosts, self.config, self.mesh)
+            # O(delta): postings stay resident; only per-doc arrays ship
+            self._refresh_sharded_vals()
 
     def save(self, path: str) -> None:
         from ..index.checkpoint import save_sharded

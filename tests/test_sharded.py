@@ -127,6 +127,39 @@ def test_sharded_checkpoint_elastic_reshard(corpus, tmp_path):
         np.testing.assert_array_equal(sc, ref_sc, err_msg=f"{n} shards")
 
 
+def test_sharded_incremental_is_o_delta(corpus, monkeypatch):
+    """Incremental updates must NOT re-assemble the whole sharded index:
+    delete refreshes vals on device (postings stay resident), and an add
+    that fits the padded shapes updates only the last shard's slabs.
+    Results remain bit-identical to a from-scratch single engine."""
+    import document_search_engine_tpu.parallel.dist as dist_mod
+
+    docs, queries = corpus
+    cfg = IndexConfig(scoring=ScoringConfig(kind="bm25"))
+    dist = DistributedSearchEngine(cfg, mesh=make_mesh(4))
+    dist.build(docs[:80])
+    pd_before = dist.index.post_doc
+
+    def boom(*a, **kw):
+        raise AssertionError("assemble_sharded called on O(delta) path")
+
+    monkeypatch.setattr(dist_mod, "assemble_sharded", boom)
+    dist.delete_docs([3, 41])
+    # postings planes untouched by delete — same device arrays
+    assert dist.index.post_doc is pd_before
+    # an add whose terms already exist and whose postings fit the
+    # aligned margin takes the in-place last-shard path
+    dist.add_docs([docs[0]])
+    ref = SearchEngine(cfg)
+    ref.build(docs[:80])
+    ref.delete_docs([3, 41])
+    ref.add_docs([docs[0]])
+    r_ids, r_sc = ref.search(queries, k=10)
+    d_ids, d_sc = dist.search(queries, k=10)
+    np.testing.assert_array_equal(d_ids, r_ids)
+    np.testing.assert_array_equal(d_sc, r_sc)
+
+
 def test_sharded_checkpoint_empty_engine(tmp_path):
     """Regression: saving a never-built engine and reloading on any mesh
     must round-trip to an empty engine, not crash in resharding."""

@@ -30,6 +30,9 @@ def test_topk_tie_stability_on_tpu():
 
 @needs_tpu
 def test_engine_oracle_parity_on_tpu():
+    """Every scorer mode — the fused Pallas kernel (TPU production), the
+    XLA plan-table twin, and XLA + Pallas rank kernel — must match the
+    oracle bit-for-bit ON HARDWARE (compiled Mosaic, not interpret)."""
     from document_search_engine_tpu.config import IndexConfig, ScoringConfig
     from document_search_engine_tpu.corpus.synth import (
         synth_corpus,
@@ -46,7 +49,93 @@ def test_engine_oracle_parity_on_tpu():
         eng.build(docs)
         ora = OracleEngine(cfg)
         ora.build(docs)
-        ei, es = eng.search(queries, k=10)
         oi, os_ = ora.search(queries, k=10)
-        np.testing.assert_array_equal(ei, oi)
-        np.testing.assert_array_equal(es, os_)
+        for mode in ("fused", "xla", "xla_rank"):
+            eng.scorer = mode
+            ei, es = eng.search(queries, k=10)
+            np.testing.assert_array_equal(ei, oi, f"{kind}/{mode}")
+            np.testing.assert_array_equal(es, os_, f"{kind}/{mode}")
+
+
+@needs_tpu
+def test_exact_div_on_tpu():
+    """TPU f32 divide is reciprocal-based (~35% of quotients 1 ulp off
+    numpy); builder.exact_div's residual correction must restore IEEE
+    rounding — it feeds every on-device bm25 value materialization."""
+    import jax.numpy as jnp
+
+    from document_search_engine_tpu.index.builder import exact_div
+
+    rng = np.random.default_rng(11)
+    n = 1 << 20
+    tf = rng.integers(1, 2000, n).astype(np.float32)
+    kd = (rng.random(n).astype(np.float32) * 5 + 0.1).astype(np.float32)
+    num, den = tf * np.float32(2.5), tf + kd
+    got = np.asarray(jax.jit(exact_div)(jnp.asarray(num), jnp.asarray(den)))
+    np.testing.assert_array_equal(got, num / den)
+
+
+@needs_tpu
+def test_rank_kernel_matches_xla_on_tpu():
+    """Compiled (non-interpret) rank kernel == XLA rank tail on device."""
+    import jax.numpy as jnp
+
+    from document_search_engine_tpu.ops.packed import rank_candidates
+    from document_search_engine_tpu.ops.rank_pallas import (
+        rank_candidates_pallas,
+    )
+
+    rng = np.random.default_rng(17)
+    nq, n_blocks, block, s, n_docs = 4, 8, 256, 8, 500
+    c = n_blocks * block
+    d = np.full((nq, c), n_docs, np.int32)
+    ci = np.zeros((nq, c), np.int32)
+    for q in range(nq):
+        for b in range(n_blocks):
+            n = int(rng.integers(0, block * 7 // 10))
+            docs = np.sort(
+                rng.choice(n_docs, size=n, replace=False).astype(np.int32)
+            )
+            d[q, b * block : b * block + n] = docs
+            ci[q, b * block : b * block + n] = rng.integers(
+                0, 50, n
+            ).astype(np.int32)
+    ref = rank_candidates(
+        jnp.asarray(d), jnp.asarray(ci), jnp.int32(7), s, 10, n_docs
+    )
+    got = rank_candidates_pallas(
+        jnp.asarray(d), jnp.asarray(ci), jnp.int32(7),
+        block=block, s=s, k=10, n_docs=n_docs,
+    )
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(ref[1]))
+
+
+@needs_tpu
+def test_sharded_step_on_tpu():
+    """The SPMD sharded step (1-device TPU mesh, fused kernel inside
+    shard_map) must match the single-process engine bit-for-bit on the
+    real chip."""
+    from document_search_engine_tpu.config import IndexConfig, ScoringConfig
+    from document_search_engine_tpu.corpus.synth import (
+        synth_corpus,
+        synth_queries,
+    )
+    from document_search_engine_tpu.engine.engine import SearchEngine
+    from document_search_engine_tpu.parallel.dist import (
+        DistributedSearchEngine,
+    )
+    from document_search_engine_tpu.parallel.mesh import make_mesh
+
+    docs = synth_corpus(n_docs=90, vocab_size=500, mean_len=30, seed=81)
+    queries = synth_queries(docs, n_queries=6, seed=82)
+    cfg = IndexConfig(scoring=ScoringConfig(kind="bm25"))
+    single = SearchEngine(cfg)
+    single.build(docs)
+    dist = DistributedSearchEngine(cfg, mesh=make_mesh(1))
+    dist.build(docs)
+    assert dist.scorer_mode == "fused"
+    si, ss = single.search(queries, k=10)
+    di, ds = dist.search(queries, k=10)
+    np.testing.assert_array_equal(di, si)
+    np.testing.assert_array_equal(ds, ss)
