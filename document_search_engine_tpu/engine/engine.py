@@ -284,38 +284,36 @@ class SearchEngine:
         self._refresh_stats_and_vals()
 
     # ----------------------------------------------------- hybrid rerank
-    def _segment_embeddings(self, dim: int) -> np.ndarray:
-        """(n_docs_total, dim) host feature-hash embeddings, cached until
-        the next stats refresh (ops/rerank.py)."""
-        from ..ops.rerank import doc_embeddings
+    def _device_embeddings(self, dim: int):
+        """Device-resident int8 feature-hash embeddings + squared norms
+        for the whole corpus, built ON DEVICE from the resident posting
+        planes (jit scatter-add, ops/rerank.py) and cached until the next
+        stats refresh. int8 keeps an 8M-doc dim-256 table at 2 GB."""
+        from ..ops.rerank import device_doc_embeddings_int, term_projection
 
         cache = getattr(self, "_emb_cache", None)
         if cache is None:
             cache = self._emb_cache = {}
         if dim in cache:
             return cache[dim]
-        from ..index.builder import _aligned_positions
-
-        emb = np.zeros((self.n_docs_total, dim), dtype=F32)
+        embs, ssqs = [], []
         for host, device in self.segments:
-            # densify the aligned planes back to contiguous postings
-            pos = _aligned_positions(host.indptr, host.row_start)
-            doc_c = np.asarray(device.post_doc).reshape(-1)[pos]
-            val_c = (
-                np.asarray(device.post_val).reshape(-1)[pos]
-                .view(np.float32)
+            col, sign = term_projection(host.term_hash, dim)
+            e, ss = device_doc_embeddings_int(
+                device.post_doc,
+                device.post_val,
+                device.row_start,
+                jnp.asarray(col),
+                jnp.asarray(sign),
+                n_docs=host.n_docs,
+                dim=dim,
             )
-            e = doc_embeddings(
-                host.term_hash,
-                host.indptr,
-                doc_c,
-                val_c,
-                host.n_docs,
-                dim,
-            )
-            emb[host.doc_base : host.doc_base + host.n_docs] = e
-        cache[dim] = emb
-        return emb
+            embs.append(e)
+            ssqs.append(ss)
+        emb = jnp.concatenate(embs, axis=0)
+        ssq = jnp.concatenate(ssqs, axis=0)
+        cache[dim] = (emb, ssq)
+        return cache[dim]
 
     def search_rerank(
         self,
@@ -326,16 +324,16 @@ class SearchEngine:
         interpret: bool | None = None,
     ):
         """Hybrid retrieval (BASELINE.json:11): lexical candidate gen,
-        then dense feature-hash rerank on the MXU (Pallas kernel).
+        then dense feature-hash rerank — candidates are gathered and
+        dot-scored ON DEVICE (exact integer dots on the MXU); only the
+        final f64 cosine + quantized ordering runs on host, from exact
+        integers, so rankings are deterministic on every backend.
         Returns (ids, rerank_scores_int, lexical_scores_int), ranked
         (rerank desc, lexical desc, gid asc)."""
-        import jax
-        import jax.numpy as jnp
-
         from ..ops.rerank import (
-            query_embeddings,
-            rerank_dots_pallas,
-            rerank_order,
+            gather_and_dot,
+            query_embeddings_int,
+            rerank_order_int,
         )
 
         if interpret is None:
@@ -346,18 +344,18 @@ class SearchEngine:
             ri = np.full((len(queries), k), -1, np.int64)
             return gids[:, :k], ri, lex[:, :k]
         slot_h, coeff = self.frontend.analyze(queries, self.stats)
-        qemb = query_embeddings(slot_h, coeff, dim)
-        emb = self._segment_embeddings(dim)
-        cand_emb = emb[np.clip(gids, 0, max(self.n_docs_total - 1, 0))]
-        cand_emb = np.where((gids >= 0)[..., None], cand_emb, F32(0.0))
-        dots = np.asarray(
-            rerank_dots_pallas(
-                jnp.asarray(qemb),
-                jnp.asarray(cand_emb.astype(F32)),
-                interpret=interpret,
-            )
+        qemb, ssq_q = query_embeddings_int(slot_h, coeff, dim)
+        emb, ssq = self._device_embeddings(dim)
+        dots, cand_ssq = gather_and_dot(
+            emb,
+            ssq,
+            jnp.asarray(qemb),
+            jnp.asarray(gids.astype(np.int32)),
+            interpret=interpret,
         )
-        return rerank_order(dots, lex, gids, k)
+        return rerank_order_int(
+            np.asarray(dots), ssq_q, np.asarray(cand_ssq), lex, gids, k
+        )
 
     def save(self, path: str) -> None:
         from ..index.checkpoint import save_engine

@@ -49,6 +49,46 @@ def test_parity_duplicate_docs_ties(kind):
 
 
 @pytest.mark.parametrize("kind", ["tfidf", "bm25"])
+def test_vector_oracle_matches_dict_oracle(kind):
+    """The vectorized oracle must equal the dict oracle bit-for-bit,
+    including after add/delete — it is the scale stand-in for the same
+    frozen reference semantics."""
+    from document_search_engine_tpu.oracle import VectorOracleEngine
+
+    docs, queries = _toy(seed=9, n_docs=90)
+    cfg = IndexConfig(scoring=ScoringConfig(kind=kind))
+    d_o, v_o = OracleEngine(cfg), VectorOracleEngine(cfg)
+    d_o.build(docs)
+    v_o.build(docs)
+    for step in range(3):
+        di, ds = d_o.search(queries, k=10)
+        vi, vs = v_o.search(queries, k=10)
+        np.testing.assert_array_equal(vi, di, f"step {step}")
+        np.testing.assert_array_equal(vs, ds, f"step {step}")
+        d_o.delete_docs([step * 7, step * 11 + 1])
+        v_o.delete_docs([step * 7, step * 11 + 1])
+        d_o.add_docs(docs[step : step + 2])
+        v_o.add_docs(docs[step : step + 2])
+
+
+@pytest.mark.parametrize("kind", ["tfidf", "bm25"])
+def test_parity_at_scale(kind):
+    """The parity gate at a 20-Newsgroups-scale corpus (~12k docs,
+    BASELINE.json:8): engine vs the vectorized oracle, bit-identical
+    ids AND integer scores."""
+    from document_search_engine_tpu.oracle import VectorOracleEngine
+
+    docs = synth_corpus(n_docs=12000, vocab_size=9000, mean_len=60, seed=6)
+    queries = synth_queries(docs, n_queries=24, terms_per_query=5, seed=7)
+    cfg = IndexConfig(scoring=ScoringConfig(kind=kind))
+    eng = SearchEngine(cfg)
+    eng.build(docs)
+    ora = VectorOracleEngine(cfg)
+    ora.build(docs)
+    assert_bit_identical(eng, ora, queries)
+
+
+@pytest.mark.parametrize("kind", ["tfidf", "bm25"])
 def test_parity_incremental_add_delete(kind):
     docs, queries = _toy(seed=4, n_docs=60)
     cfg = IndexConfig(scoring=ScoringConfig(kind=kind))

@@ -1,5 +1,6 @@
-"""Hybrid dense rerank (BASELINE.json:11): Pallas kernel vs jnp reference,
-determinism, and end-to-end engine behavior."""
+"""Hybrid dense rerank (BASELINE.json:11): device int8 embedding build
+vs host reference (bit-identical), exact integer dots, deterministic
+ordering, and end-to-end engine behavior."""
 import jax.numpy as jnp
 import numpy as np
 
@@ -7,49 +8,98 @@ from document_search_engine_tpu.config import IndexConfig, ScoringConfig
 from document_search_engine_tpu.corpus.synth import synth_corpus, synth_queries
 from document_search_engine_tpu.engine.engine import SearchEngine
 from document_search_engine_tpu.ops.rerank import (
-    doc_embeddings,
-    query_embeddings,
+    EMB_CLIP,
+    device_doc_embeddings_int,
+    doc_embeddings_int,
+    query_embeddings_int,
     rerank_dots_pallas,
     rerank_dots_ref,
-    rerank_order,
+    rerank_order_int,
+    term_projection,
 )
 
 
-def test_pallas_dots_match_reference():
+def test_device_embeddings_match_host():
+    """Device jit scatter-add over the aligned planes == host np.add.at
+    reference, bit for bit (integer sums are order-free)."""
+    from document_search_engine_tpu.index.builder import (
+        _host_planes,
+        aligned_geometry,
+    )
+
+    rng = np.random.default_rng(3)
+    n_terms, n_docs, dim = 30, 200, 64
+    term_hash = np.sort(
+        rng.integers(1, 2**63, n_terms).astype(np.uint64)
+    )
+    lens = rng.integers(0, 40, n_terms)
+    indptr = np.zeros(n_terms + 1, np.int32)
+    np.cumsum(lens, out=indptr[1:])
+    nnz = int(indptr[-1])
+    post_doc = np.concatenate(
+        [
+            np.sort(rng.choice(n_docs, size=l, replace=False))
+            for l in lens
+        ]
+    ).astype(np.int32)
+    post_val = rng.random(nnz, dtype=np.float32) * 2.3
+    ref_emb, ref_ssq = doc_embeddings_int(
+        term_hash, indptr, post_doc, post_val, n_docs, dim
+    )
+    row_start, x_rows = aligned_geometry(indptr, 1)
+    d2, v2, _ = _host_planes(
+        post_doc, post_val, np.ones(nnz, np.int32), indptr, row_start,
+        x_rows, n_docs,
+    )
+    col, sign = term_projection(term_hash, dim)
+    got_emb, got_ssq = device_doc_embeddings_int(
+        jnp.asarray(d2), jnp.asarray(v2),
+        jnp.asarray(row_start.astype(np.int32)),
+        jnp.asarray(col), jnp.asarray(sign), n_docs=n_docs, dim=dim,
+    )
+    np.testing.assert_array_equal(np.asarray(got_emb), ref_emb)
+    np.testing.assert_array_equal(np.asarray(got_ssq), ref_ssq)
+
+
+def test_dots_exact_integers():
+    """The Pallas MXU dots and the jnp reference must agree EXACTLY:
+    |cells| <= EMB_CLIP keeps the f32 accumulation integer-exact."""
     rng = np.random.default_rng(0)
-    q = rng.standard_normal((4, 128)).astype(np.float32)
-    c = rng.standard_normal((4, 16, 128)).astype(np.float32)
+    q = rng.integers(-EMB_CLIP, EMB_CLIP + 1, (4, 128)).astype(np.int8)
+    c = rng.integers(-EMB_CLIP, EMB_CLIP + 1, (4, 16, 128)).astype(np.int8)
     got = np.asarray(
         rerank_dots_pallas(jnp.asarray(q), jnp.asarray(c), interpret=True)
     )
     ref = np.asarray(rerank_dots_ref(jnp.asarray(q), jnp.asarray(c)))
-    # f32 reduction order differs between the kernel and einsum
-    np.testing.assert_allclose(got, ref, rtol=3e-5, atol=1e-4)
-
-
-def test_doc_embeddings_normalized_and_deterministic():
-    term_hash = np.array([11, 222, 3333, 44444], np.uint64)
-    indptr = np.array([0, 2, 3, 5, 6], np.int32)
-    post_doc = np.array([0, 1, 1, 0, 2, 2], np.int32)
-    post_val = np.array([0.5, 0.2, 0.7, 0.1, 0.3, 0.9], np.float32)
-    e1 = doc_embeddings(term_hash, indptr, post_doc, post_val, 3, 64)
-    e2 = doc_embeddings(term_hash, indptr, post_doc, post_val, 3, 64)
-    np.testing.assert_array_equal(e1, e2)
-    np.testing.assert_allclose(
-        np.linalg.norm(e1, axis=1), np.ones(3), rtol=1e-5
+    np.testing.assert_array_equal(got, ref)
+    exact = np.einsum(
+        "qe,qke->qk", q.astype(np.int64), c.astype(np.int64)
     )
+    np.testing.assert_array_equal(got, exact)
 
 
 def test_rerank_order_ranking_rules():
-    dots = np.array([[0.9, 0.9, 0.1, 0.5]], np.float32)
+    # cosines: candidates 0,1 tie (identical dot/norms); 2 lower; 3 dead
+    dots = np.array([[90, 90, 10, 50]], np.int32)
+    ssq_q = np.array([100], np.int64)
+    ssq_d = np.array([[100, 100, 100, 100]], np.int32)
     lex = np.array([[5, 7, 9, -1]], np.int64)
     gids = np.array([[30, 20, 10, 40]], np.int64)
-    ids, ri, lx = rerank_order(dots, lex, gids, k=4)
-    # equal rerank 0.9: higher lexical wins -> gid 20 before 30;
-    # dead candidate sinks
+    ids, ri, lx = rerank_order_int(dots, ssq_q, ssq_d, lex, gids, k=4)
+    # equal rerank: higher lexical wins -> gid 20 before 30; dead sinks
     assert list(ids[0]) == [20, 30, 10, -1]
     assert lx[0, 0] == 7 and lx[0, 1] == 5
     assert ri[0, 3] == -1
+
+
+def test_query_embeddings_deterministic():
+    slot_h = np.array([[11, 222, 3333, 0]], np.uint64)
+    coeff = np.array([[1.5, 0.3, 2.0, 0.0]], np.float32)
+    q1, s1 = query_embeddings_int(slot_h, coeff, 64)
+    q2, s2 = query_embeddings_int(slot_h, coeff, 64)
+    np.testing.assert_array_equal(q1, q2)
+    assert np.abs(q1).max() == EMB_CLIP
+    assert s1[0] == (q1[0].astype(np.int64) ** 2).sum()
 
 
 def test_engine_search_rerank_end_to_end():
@@ -57,7 +107,6 @@ def test_engine_search_rerank_end_to_end():
     queries = synth_queries(docs, n_queries=6, seed=18)
     eng = SearchEngine(IndexConfig(scoring=ScoringConfig(kind="bm25")))
     eng.build(docs)
-    lex_ids, lex_scores = eng.search(queries, k=10)
     ids, ri, lx = eng.search_rerank(queries, k=10, candidates=32)
     assert ids.shape == (6, 10)
     # reranked set is drawn from the lexical candidate pool
@@ -74,3 +123,11 @@ def test_engine_search_rerank_end_to_end():
     eng.add_docs(docs[:3])
     ids3, _, _ = eng.search_rerank(queries, k=10, candidates=32)
     assert ids3.shape == (6, 10)
+    # host-build engine produces the identical rerank (device == host
+    # embeddings bitwise; ordering is host f64 either way)
+    eng2 = SearchEngine(IndexConfig(scoring=ScoringConfig(kind="bm25")))
+    eng2.device_build = False
+    eng2.build(docs)
+    eng2.add_docs(docs[:3])
+    ids4, ri4, _ = eng2.search_rerank(queries, k=10, candidates=32)
+    np.testing.assert_array_equal(ids4, ids3)
