@@ -68,9 +68,10 @@ def main():
     depth = int(os.environ.get("BENCH_DEPTH", 4))
     n_batches = int(os.environ.get("BENCH_BATCHES", 8))
     path = os.environ.get("BENCH_PATH", "fused")  # fused | tables
-    # uniform 1024 measured best for the fused kernel (fewer DMAs and
-    # fewer merge levels beat the finer family's padding savings)
-    block_env = os.environ.get("BENCH_BLOCK", "1024")
+    # uniform 2048 measured best for the fused kernel (fewer DMAs and
+    # fewer merge levels beat the finer blocks' padding savings:
+    # mixed 30.6k < 1024 47.6k < 2048 51.7k qps on the dev chip)
+    block_env = os.environ.get("BENCH_BLOCK", "2048")
     vocab = max(50_000, n_docs // 5)
     avg_terms = int(os.environ.get("BENCH_AVG_TERMS", 60))
 

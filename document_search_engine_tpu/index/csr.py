@@ -23,7 +23,7 @@ def round_up(x: int, m: int) -> int:
 # ops/fused_pallas.py) can read whole blocks past a row's end without
 # clamping. Any packing block size must be <= this margin — asserted at
 # the kernel entry points.
-NNZ_SLICE_MARGIN = 2048
+NNZ_SLICE_MARGIN = 4096
 
 
 @dataclass
