@@ -58,14 +58,28 @@ def cmd_search(args):
     except OSError:
         names = None
     t0 = time.perf_counter()
-    ids, scores = eng.search([args.query], k=args.k)
+    if getattr(args, "rerank", False):
+        ids, rerank_scores, scores = eng.search_rerank(
+            [args.query], k=args.k
+        )
+    else:
+        ids, scores = eng.search([args.query], k=args.k)
+        rerank_scores = None
     dt = time.perf_counter() - t0
     sb = eng.config.scoring.scale_bits
     for rank, (g, s) in enumerate(zip(ids[0], scores[0]), 1):
         if g < 0:
             break
         name = names[g] if names and g < len(names) else str(g)
-        print(f"{rank:3d}. {name}  score={s / (1 << sb):.6f}  (doc {g})")
+        extra = (
+            f"  rerank={rerank_scores[0][rank - 1] / (1 << 20):.4f}"
+            if rerank_scores is not None
+            else ""
+        )
+        print(
+            f"{rank:3d}. {name}  score={s / (1 << sb):.6f}{extra}"
+            f"  (doc {g})"
+        )
     print(f"[{dt*1e3:.1f} ms]", file=sys.stderr)
     return 0
 
@@ -121,6 +135,11 @@ def main(argv=None):
     ps.add_argument("index_dir")
     ps.add_argument("query")
     ps.add_argument("-k", type=int, default=10)
+    ps.add_argument(
+        "--rerank",
+        action="store_true",
+        help="hybrid dense rerank of the lexical candidates",
+    )
     ps.set_defaults(fn=cmd_search)
 
     pe = sub.add_parser("eval", help="topic-corpus quality + parity report")

@@ -305,6 +305,8 @@ def _host_planes(
 def host_k_doc(dl: np.ndarray, config: IndexConfig, stats: GlobalStats):
     """(n_docs,) f32 bm25 K(dl) = c0 + c1*dl in spec op order (the same
     f32 values spec.val_bm25 derives per posting)."""
+    if stats.n_alive == 0:  # no alive docs: K is never used (vals fold
+        return np.zeros(len(dl), F32)  # to 0 via the alive mask)
     avgdl = spec.avgdl_of(stats.total_len_alive, stats.n_alive)
     c0, c1 = spec.bm25_len_coeffs(
         config.scoring.k1, config.scoring.b, avgdl

@@ -59,8 +59,7 @@ def save_engine(engine, path: str) -> None:
 
 
 def _save_host(host, fname: str) -> None:
-    np.savez_compressed(
-        fname,
+    arrays = dict(
         term_hash=host.term_hash,
         df=host.df,
         doc_base=np.int64(host.doc_base),
@@ -71,15 +70,33 @@ def _save_host(host, fname: str) -> None:
         doc_tfs=host.doc_tfs,
         doc_ptr=host.doc_ptr,
         indptr=host.indptr,
-        host_post_doc=host.post_doc,
-        host_post_tf=host.post_tf,
     )
+    # device-built shards keep no host postings copies; the loader
+    # rebuilds them from the analyzed doc arrays (fully derivable)
+    if host.post_doc is not None:
+        arrays["host_post_doc"] = host.post_doc
+        arrays["host_post_tf"] = host.post_tf
+    np.savez_compressed(fname, **arrays)
 
 
 def _load_host(fname: str):
+    from . import builder
     from .csr import SegmentHost
 
     z = np.load(fname)
+    if "host_post_doc" not in z.files:
+        # device-built shard: re-derive the host CSR from the analyzed
+        # docs (same lexsort as the original pack — bit-identical)
+        a = builder.AnalyzedDocs(
+            hashes=z["doc_hashes"],
+            tfs=z["doc_tfs"],
+            doc_ptr=z["doc_ptr"],
+            dl=z["dl"],
+        )
+        h = builder.build_host_segment(a, int(z["doc_base"]))
+        h.alive[:] = z["alive"]
+        builder.recompute_alive_df(h)
+        return h
     return SegmentHost(
         term_hash=z["term_hash"],
         df=z["df"],

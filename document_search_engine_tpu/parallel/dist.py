@@ -52,10 +52,27 @@ class ShardedIndex:
     cap_hint: int  # max CSR row length across shards
 
 
+def _ensure_host_csr(h) -> None:
+    """Device-built segments keep no host postings copies; re-derive
+    them from the analyzed docs when a host-side reassembly needs them
+    (same lexsort as the original pack — bit-identical)."""
+    if h.post_doc is not None:
+        return
+    a = builder.AnalyzedDocs(
+        hashes=h.doc_hashes, tfs=h.doc_tfs, doc_ptr=h.doc_ptr, dl=h.dl
+    )
+    nh = builder.build_host_segment(a, h.doc_base)
+    h.indptr = nh.indptr
+    h.post_doc = nh.post_doc
+    h.post_tf = nh.post_tf
+
+
 def assemble_sharded(hosts, config: IndexConfig, mesh: Mesh) -> ShardedIndex:
     """Pack per-shard host metadata into fleet-uniform padded device
     arrays with corpus-global stats; used by build and incremental
     updates (the device arrays are fully derivable from SegmentHost)."""
+    for h in hosts:
+        _ensure_host_csr(h)
     n_shards = len(hosts)
     stats = merge_stats(hosts)
     # ~25% vocab and ~12.5% postings growth headroom so small incremental
@@ -148,21 +165,123 @@ def _sharded_materialize_vals(
 
 
 def build_sharded(
-    texts, config: IndexConfig, mesh: Mesh
+    texts, config: IndexConfig, mesh: Mesh, device_build: bool = True
 ) -> ShardedIndex:
     """Build a document-sharded index: contiguous doc ranges per shard,
     corpus-global df/idf (host merge; `psum` in the SPMD build demo),
-    fleet-uniform padded shapes, one sharded device_put."""
+    fleet-uniform padded shapes.
+
+    device_build (default): each shard's CSR pack + materialization is a
+    jit device job (builder.build_segment_device) — the BASELINE.json:5
+    "index build is itself a jit-compiled batch job"; the padded stacked
+    planes assemble on device. The host build remains as the
+    tested-equal fallback."""
     texts = list(texts)
     n_shards = mesh.devices.size
     n_docs = len(texts)
     per = -(-n_docs // n_shards) if n_docs else 1
+    if device_build:
+        segs = []
+        for i in range(n_shards):
+            lo, hi = min(i * per, n_docs), min((i + 1) * per, n_docs)
+            a = builder.analyze_texts_fast(texts[lo:hi], config)
+            segs.append(
+                builder.build_segment_device(a, config, doc_base=lo)
+            )
+        return assemble_sharded_device(segs, config, mesh)
     hosts = []
     for i in range(n_shards):
         lo, hi = min(i * per, n_docs), min((i + 1) * per, n_docs)
         a = builder.analyze_texts_fast(texts[lo:hi], config)
         hosts.append(builder.build_host_segment(a, lo))
     return assemble_sharded(hosts, config, mesh)
+
+
+def assemble_sharded_device(segs, config: IndexConfig, mesh: Mesh):
+    """Stack per-shard DEVICE-BUILT segments into the fleet-uniform
+    sharded index: planes are padded and stacked on device (the O(nnz)
+    postings never round-trip to host), then values refresh for the
+    corpus-global stats."""
+    hosts = [h for h, _ in segs]
+    n_shards = len(hosts)
+    t_max = max(h.n_terms for h in hosts)
+    t_pad = round_up(t_max + max(t_max // 4, 64), 64)
+    d_pad = round_up(max(h.n_docs for h in hosts) + 1, config.docs_pad_to)
+    x_rows = max(int(d.post_doc.shape[0]) for _, d in segs)
+    x_rows = x_rows + max(x_rows // 8, 8)
+
+    def pad_planes(h, d):
+        xr = int(d.post_doc.shape[0])
+        pad = ((0, x_rows - xr), (0, 0))
+        pd = jnp.pad(d.post_doc, pad, constant_values=h.n_docs)
+        pt = jnp.pad(d.post_tf, pad)
+        ip = np.zeros(t_pad + 1, np.int32)
+        ip[: len(h.indptr)] = h.indptr
+        ip[len(h.indptr) :] = h.indptr[-1] if len(h.indptr) else 0
+        rs = np.zeros(t_pad, np.int32)
+        rs[: h.n_terms] = h.row_start
+        return pd, pt, ip, rs
+
+    parts = [pad_planes(h, d) for h, d in segs]
+    shard0 = NamedSharding(mesh, P(DOCS_AXIS))
+    idx = ShardedIndex(
+        indptr=jax.device_put(np.stack([p[2] for p in parts]), shard0),
+        row_start=jax.device_put(np.stack([p[3] for p in parts]), shard0),
+        post_doc=jax.device_put(jnp.stack([p[0] for p in parts]), shard0),
+        post_val=None,  # refreshed below (needs corpus-global stats)
+        post_tf=jax.device_put(jnp.stack([p[1] for p in parts]), shard0),
+        alive=None,
+        doc_base=jax.device_put(
+            np.array(
+                [h.doc_base for h in hosts], np.int32
+            ).reshape(n_shards, 1),
+            shard0,
+        ),
+        hosts=hosts,
+        stats=merge_stats(hosts),
+        n_shards=n_shards,
+        d_pad=d_pad,
+        cap_hint=max(
+            (
+                int(np.diff(h.indptr).max())
+                for h in hosts
+                if len(h.indptr) > 1
+            ),
+            default=1,
+        ),
+    )
+
+    refresh_sharded_vals(idx, config, mesh)
+    return idx
+
+
+def refresh_sharded_vals(idx: ShardedIndex, config: IndexConfig, mesh: Mesh):
+    """Device-side val re-materialization for every shard after
+    df/N/avgdl change: ships only (n_shards, d_pad) k_doc/inv_norm/alive
+    — O(docs) H2D, the O(nnz) planes stay resident."""
+    idx.stats = merge_stats(idx.hosts)
+    n_shards, d_pad = idx.n_shards, idx.d_pad
+    kd = np.zeros((n_shards, d_pad), F32)
+    inv = np.zeros((n_shards, d_pad), F32)
+    al = np.zeros((n_shards, d_pad), bool)
+    for i, h in enumerate(idx.hosts):
+        k_doc, inv_norm, alive = builder.refresh_inputs(
+            h, config, idx.stats
+        )
+        kd[i, : h.n_docs] = k_doc
+        inv[i, : h.n_docs] = inv_norm
+        al[i, : h.n_docs] = alive
+    shard0 = NamedSharding(mesh, P(DOCS_AXIS))
+    idx.alive = jax.device_put(al, shard0)
+    idx.post_val = _sharded_materialize_vals(
+        idx.post_doc,
+        idx.post_tf,
+        jax.device_put(kd, shard0),
+        jax.device_put(inv, shard0),
+        idx.alive,
+        jnp.float32(F32(config.scoring.k1 + 1.0)),
+        kind=config.scoring.kind,
+    )
 
 
 @partial(
@@ -266,9 +385,15 @@ class DistributedSearchEngine:
         # None = auto ("fused" Pallas kernel on TPU meshes, "xla"
         # elsewhere); "xla_rank" = XLA pack + Pallas rank kernel
         self.scorer: str | None = None
+        # jit device-side per-shard CSR pack + materialization (the
+        # BASELINE.json:5 "index build is itself a jit-compiled batch
+        # job"); host build kept as the tested-equal fallback
+        self.device_build: bool = True
 
     def build(self, texts) -> None:
-        self.index = build_sharded(texts, self.config, self.mesh)
+        self.index = build_sharded(
+            texts, self.config, self.mesh, device_build=self.device_build
+        )
 
     @property
     def n_docs_total(self) -> int:
@@ -356,33 +481,7 @@ class DistributedSearchEngine:
         return True
 
     def _refresh_sharded_vals(self) -> None:
-        """Device-side val re-materialization for every shard after
-        df/N/avgdl change: ships only (n_shards, d_pad) k_doc/inv_norm/
-        alive — O(docs) H2D, the O(nnz) planes stay resident."""
-        idx = self.index
-        idx.stats = merge_stats(idx.hosts)
-        n_shards, d_pad = idx.n_shards, idx.d_pad
-        kd = np.zeros((n_shards, d_pad), F32)
-        inv = np.zeros((n_shards, d_pad), F32)
-        al = np.zeros((n_shards, d_pad), bool)
-        for i, h in enumerate(idx.hosts):
-            k_doc, inv_norm, alive = builder.refresh_inputs(
-                h, self.config, idx.stats
-            )
-            kd[i, : h.n_docs] = k_doc
-            inv[i, : h.n_docs] = inv_norm
-            al[i, : h.n_docs] = alive
-        shard0 = NamedSharding(self.mesh, P(DOCS_AXIS))
-        idx.alive = jax.device_put(al, shard0)
-        idx.post_val = _sharded_materialize_vals(
-            idx.post_doc,
-            idx.post_tf,
-            jax.device_put(kd, shard0),
-            jax.device_put(inv, shard0),
-            idx.alive,
-            jnp.float32(F32(self.config.scoring.k1 + 1.0)),
-            kind=self.config.scoring.kind,
-        )
+        refresh_sharded_vals(self.index, self.config, self.mesh)
 
     def delete_docs(self, global_ids) -> None:
         """Tombstone docs across shards with exact df/N/avgdl updates."""

@@ -37,7 +37,7 @@ def test_fused_kernel_matches_xla_paths():
     indptr, post_doc, post_val, nnz = _csr(rng, n_terms, n_docs, 1500)
     d2, v2, row_start = make_aligned(indptr, post_doc, post_val, n_docs)
     for blocksize in (256, 512):
-        nq, s = 6, 4
+        nq, s = 8, 4  # nq divisible by the QT tile: covers qt=4
         rows = rng.integers(0, n_terms, (nq, s)).astype(np.int32)
         coeff = rng.random((nq, s)).astype(np.float32) * 1.5
         coeff[2, 1] = 0.0  # a missing slot

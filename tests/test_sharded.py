@@ -160,6 +160,37 @@ def test_sharded_incremental_is_o_delta(corpus, monkeypatch):
     np.testing.assert_array_equal(d_sc, r_sc)
 
 
+def test_sharded_device_build_matches_host(corpus, tmp_path):
+    """The jit device-side sharded build must produce identical results
+    to the host build, survive incremental updates and a checkpoint
+    round-trip (device-built shards re-derive host CSR on load)."""
+    docs, queries = corpus
+    cfg = IndexConfig(scoring=ScoringConfig(kind="bm25"))
+    dev = DistributedSearchEngine(cfg, mesh=make_mesh(4))
+    host = DistributedSearchEngine(cfg, mesh=make_mesh(4))
+    dev.device_build, host.device_build = True, False
+    dev.build(docs)
+    host.build(docs)
+    di, ds = dev.search(queries, k=10)
+    hi, hs = host.search(queries, k=10)
+    np.testing.assert_array_equal(di, hi)
+    np.testing.assert_array_equal(ds, hs)
+    dev.delete_docs([5, 60])
+    host.delete_docs([5, 60])
+    dev.add_docs(docs[:2])
+    host.add_docs(docs[:2])
+    di, ds = dev.search(queries, k=10)
+    hi, hs = host.search(queries, k=10)
+    np.testing.assert_array_equal(di, hi)
+    np.testing.assert_array_equal(ds, hs)
+    path = str(tmp_path / "dev_sharded")
+    dev.save(path)
+    re = DistributedSearchEngine.load(path, mesh=make_mesh(2))
+    ri, rs = re.search(queries, k=10)
+    np.testing.assert_array_equal(ri, di)
+    np.testing.assert_array_equal(rs, ds)
+
+
 def test_sharded_checkpoint_empty_engine(tmp_path):
     """Regression: saving a never-built engine and reloading on any mesh
     must round-trip to an empty engine, not crash in resharding."""
