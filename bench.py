@@ -314,13 +314,14 @@ def main():
     for i in range(iters):
         inflight.append(serve_step(doc2d, val2d, tables0, sig0))
         if len(inflight) >= depth:
-            _ = np.asarray(inflight.popleft()[:1])
+            _ = np.asarray(inflight.popleft())
     while inflight:
-        _ = np.asarray(inflight.popleft()[:1])
+        _ = np.asarray(inflight.popleft())
     dt0 = time.perf_counter() - t0
     log(
         f"device step only: {nq*iters/dt0:,.0f} q/s/chip "
-        f"({dt0/iters*1e3:.2f} ms/batch, fixed staged batch)"
+        f"({dt0/iters*1e3:.2f} ms/batch, fixed staged batch, "
+        f"full readback)"
     )
 
     print(

@@ -85,11 +85,6 @@ def _batch_step(
                     interpret=interpret,
                 )
                 g = jnp.where(v > 0, dloc + doc_bases[si], -1)
-                kk = v.shape[1]
-                if kk < k:
-                    padv = jnp.full((v.shape[0], k - kk), -1, v.dtype)
-                    v = jnp.concatenate([v, padv], axis=1)
-                    g = jnp.concatenate([g, padv], axis=1)
             else:
                 v, g = search_packed_tables(
                     post_docs[si],
@@ -105,7 +100,9 @@ def _batch_step(
                     s=s,
                     k=k,
                     n_docs=n_docs,
-                    use_rank_pallas=(mode == "xla_rank"),
+                    # the rank kernel also stores top-k in one lane
+                    # vector; larger k uses the XLA rank tail
+                    use_rank_pallas=(mode == "xla_rank" and k <= 128),
                     rank_interpret=interpret,
                 )
             out_v.append(v)
@@ -298,6 +295,12 @@ class SearchEngine:
             return cache[dim]
         embs, ssqs = [], []
         for host, device in self.segments:
+            if host.n_terms == 0 or host.n_docs == 0:
+                # empty-vocabulary segment (e.g. all-stopword docs):
+                # nothing projects; its docs embed as zero vectors
+                embs.append(jnp.zeros((host.n_docs, dim), jnp.int8))
+                ssqs.append(jnp.zeros((host.n_docs,), jnp.int32))
+                continue
             col, sign = term_projection(host.term_hash, dim)
             e, ss = device_doc_embeddings_int(
                 device.post_doc,

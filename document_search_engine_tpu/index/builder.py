@@ -305,8 +305,10 @@ def _host_planes(
 def host_k_doc(dl: np.ndarray, config: IndexConfig, stats: GlobalStats):
     """(n_docs,) f32 bm25 K(dl) = c0 + c1*dl in spec op order (the same
     f32 values spec.val_bm25 derives per posting)."""
-    if stats.n_alive == 0:  # no alive docs: K is never used (vals fold
-        return np.zeros(len(dl), F32)  # to 0 via the alive mask)
+    # no alive docs, or only empty ones (avgdl 0): K is never used —
+    # such segments carry no postings, and vals fold to 0 anyway
+    if stats.n_alive == 0 or stats.total_len_alive == 0:
+        return np.zeros(len(dl), F32)
     avgdl = spec.avgdl_of(stats.total_len_alive, stats.n_alive)
     c0, c1 = spec.bm25_len_coeffs(
         config.scoring.k1, config.scoring.b, avgdl
@@ -500,21 +502,10 @@ def refresh_segment_vals(
     """
     d_pad = device.n_docs_pad
     kind = config.scoring.kind
-    if kind == "tfidf":
-        analyzed = AnalyzedDocs(
-            hashes=host.doc_hashes,
-            tfs=host.doc_tfs,
-            doc_ptr=host.doc_ptr,
-            dl=host.dl,
-        )
-        inv_norm = doc_inv_norms(analyzed, stats, kind)
-    else:
-        inv_norm = np.zeros(host.n_docs, dtype=F32)
+    k_host, inv_norm, alive = refresh_inputs(host, config, stats)
     inv_d = jnp.asarray(_pad(inv_norm, d_pad, 0, np.float32))
-    alive_d = jnp.asarray(_pad(host.alive, d_pad, False, bool))
-    k_doc = jnp.asarray(
-        _pad(host_k_doc(host.dl, config, stats), d_pad, 0, np.float32)
-    )
+    alive_d = jnp.asarray(_pad(alive, d_pad, False, bool))
+    k_doc = jnp.asarray(_pad(k_host, d_pad, 0, np.float32))
     post_val = device_materialize_vals(
         device.post_doc,
         device.post_tf,

@@ -52,6 +52,14 @@ def plan_tables(
     (nq, 1, n_blocks) int32 — source row offset in the (X, 128) planes
     (-1 = skip), postings remaining at block start (masks the tail), and
     the slot coefficient bits. Pure vectorized numpy."""
+    from ..index.csr import NNZ_SLICE_MARGIN
+
+    # tail blocks read up to block-128 records past a row's aligned end;
+    # the builders guarantee NNZ_SLICE_MARGIN of in-bounds tail
+    assert block <= NNZ_SLICE_MARGIN, (
+        f"block={block} exceeds the builder's slice margin "
+        f"({NNZ_SLICE_MARGIN}); tail blocks would read out of bounds"
+    )
     nq, s = rows.shape
     b128 = block // LANES
     if len(indptr) < 2:  # empty segment/shard: every block skipped
@@ -209,10 +217,16 @@ def fused_search_pallas(
     """(vals, docs_local) (nq, k) int32, ranked (score desc, doc asc);
     exhausted slots are (-1, -1). Bit-identical to search_packed_ds on
     the same plan (tested)."""
+    from ..index.csr import NNZ_SLICE_MARGIN
+
     nq = srcrow.shape[0]
     b128 = block // LANES
     r_dim = n_blocks * b128
     assert k <= LANES
+    assert block <= NNZ_SLICE_MARGIN, (
+        f"block={block} exceeds the builder's slice margin "
+        f"({NNZ_SLICE_MARGIN}); tail DMAs would read out of bounds"
+    )
     kernel = partial(
         _fused_kernel,
         n_blocks=n_blocks,

@@ -163,6 +163,12 @@ def search_packed_tables(
     per-(query, block) DMA plan tables (fused_pallas.plan_tables) so the
     serving paths stage once and pick the backend per platform.
     Bit-identical to the kernel and to search_packed (tested)."""
+    from ..index.csr import NNZ_SLICE_MARGIN
+
+    assert block <= NNZ_SLICE_MARGIN, (
+        f"block={block} exceeds the builder's slice margin "
+        f"({NNZ_SLICE_MARGIN}); tail blocks would read clamped sources"
+    )
     nq = srcrow.shape[0]
     srcrow2 = srcrow.reshape(nq, n_blocks)
     rem2 = rem.reshape(nq, n_blocks)

@@ -184,6 +184,9 @@ def rank_pallas(
     assert c_total % block == 0 and (c_total & (c_total - 1)) == 0
     assert (block & (block - 1)) == 0 and block >= LANES
     assert k <= LANES, "kernel stores top-k in one lane vector"
+    # the segmented run-sum shifts by powers of two < s; shift_right is
+    # only correct for distances < 128
+    assert s <= LANES, f"s={s} exceeds the kernel's run-sum shift range"
     kernel = partial(
         _rank_kernel, block=block, s=s, k=k, n_docs=n_docs
     )

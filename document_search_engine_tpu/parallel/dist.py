@@ -36,8 +36,6 @@ class ShardedIndex:
     """Stacked per-shard aligned posting planes; axis 0 is the `docs`
     mesh axis (see index/csr.py SegmentDevice for the plane layout)."""
 
-    indptr: jnp.ndarray  # (n_shards, T_pad+1) i32 — true lengths
-    row_start: jnp.ndarray  # (n_shards, T_pad) i32 — aligned row starts
     post_doc: jnp.ndarray  # (n_shards, X, 128) i32
     post_val: jnp.ndarray  # (n_shards, X, 128) i32 bitcast f32
     # raw tfs in the same geometry: lets incremental updates
@@ -49,7 +47,7 @@ class ShardedIndex:
     stats: GlobalStats
     n_shards: int
     d_pad: int
-    cap_hint: int  # max CSR row length across shards
+    t_pad: int  # uniform padded vocab size (sizes incremental updates)
 
 
 def _ensure_host_csr(h) -> None:
@@ -88,35 +86,24 @@ def assemble_sharded(hosts, config: IndexConfig, mesh: Mesh) -> ShardedIndex:
     x_rows = max(x for _, x in geoms)
     x_rows = x_rows + max(x_rows // 8, 8)
 
-    ip = np.zeros((n_shards, t_pad + 1), np.int32)
-    rs = np.zeros((n_shards, t_pad), np.int32)
     pd = np.zeros((n_shards, x_rows, 128), np.int32)
     pv = np.zeros((n_shards, x_rows, 128), np.int32)
     pt = np.zeros((n_shards, x_rows, 128), np.int32)
     al = np.zeros((n_shards, d_pad), bool)
-    cap_hint = 1
     for i, (h, (row_start, xr)) in enumerate(zip(hosts, geoms)):
         h.row_start = row_start
         vals, _inv_norm = builder.segment_vals(h, config, stats)
-        indptr = h.indptr
-        ip[i, : len(indptr)] = indptr
-        ip[i, len(indptr) :] = indptr[-1] if len(indptr) else 0
-        rs[i, : len(row_start)] = row_start
         d2, v2, t2 = builder._host_planes(
-            h.post_doc, vals, h.post_tf, indptr, row_start, x_rows,
+            h.post_doc, vals, h.post_tf, h.indptr, row_start, x_rows,
             h.n_docs,
         )
         pd[i] = d2
         pv[i] = v2
         pt[i] = t2
         al[i, : h.n_docs] = h.alive
-        if len(indptr) > 1:
-            cap_hint = max(cap_hint, int(np.diff(indptr).max()))
 
     shard0 = NamedSharding(mesh, P(DOCS_AXIS))
     return ShardedIndex(
-        indptr=jax.device_put(ip, shard0),
-        row_start=jax.device_put(rs, shard0),
         post_doc=jax.device_put(pd, shard0),
         post_val=jax.device_put(pv, shard0),
         post_tf=jax.device_put(pt, shard0),
@@ -131,7 +118,7 @@ def assemble_sharded(hosts, config: IndexConfig, mesh: Mesh) -> ShardedIndex:
         stats=stats,
         n_shards=n_shards,
         d_pad=d_pad,
-        cap_hint=cap_hint,
+        t_pad=t_pad,
     )
 
 
@@ -215,18 +202,11 @@ def assemble_sharded_device(segs, config: IndexConfig, mesh: Mesh):
         pad = ((0, x_rows - xr), (0, 0))
         pd = jnp.pad(d.post_doc, pad, constant_values=h.n_docs)
         pt = jnp.pad(d.post_tf, pad)
-        ip = np.zeros(t_pad + 1, np.int32)
-        ip[: len(h.indptr)] = h.indptr
-        ip[len(h.indptr) :] = h.indptr[-1] if len(h.indptr) else 0
-        rs = np.zeros(t_pad, np.int32)
-        rs[: h.n_terms] = h.row_start
-        return pd, pt, ip, rs
+        return pd, pt
 
     parts = [pad_planes(h, d) for h, d in segs]
     shard0 = NamedSharding(mesh, P(DOCS_AXIS))
     idx = ShardedIndex(
-        indptr=jax.device_put(np.stack([p[2] for p in parts]), shard0),
-        row_start=jax.device_put(np.stack([p[3] for p in parts]), shard0),
         post_doc=jax.device_put(jnp.stack([p[0] for p in parts]), shard0),
         post_val=None,  # refreshed below (needs corpus-global stats)
         post_tf=jax.device_put(jnp.stack([p[1] for p in parts]), shard0),
@@ -241,14 +221,7 @@ def assemble_sharded_device(segs, config: IndexConfig, mesh: Mesh):
         stats=merge_stats(hosts),
         n_shards=n_shards,
         d_pad=d_pad,
-        cap_hint=max(
-            (
-                int(np.diff(h.indptr).max())
-                for h in hosts
-                if len(h.indptr) > 1
-            ),
-            default=1,
-        ),
+        t_pad=t_pad,
     )
 
     refresh_sharded_vals(idx, config, mesh)
@@ -338,7 +311,7 @@ def _sharded_batch_step(
                     jnp.float32(scale), jnp.float32(clip), base[0, 0],
                     n_blocks=n_blocks, block=block, s=s, k=k,
                     n_docs=d_pad - 1,
-                    use_rank_pallas=(mode == "xla_rank"),
+                    use_rank_pallas=(mode == "xla_rank" and k <= 128),
                     rank_interpret=interpret,
                 )
             parts_v.append(v)
@@ -447,7 +420,7 @@ class DistributedSearchEngine:
         stay resident (their idf-dependent vals refresh separately).
         Returns False when the shard outgrew the allocation."""
         idx = self.index
-        t_pad = idx.indptr.shape[1] - 1
+        t_pad = idx.t_pad
         x_rows = idx.post_doc.shape[1]
         row_start, xr = builder.aligned_geometry(
             new_last.indptr, self.config.nnz_pad_to
@@ -468,16 +441,9 @@ class DistributedSearchEngine:
             x_rows,
             new_last.n_docs,
         )
-        ip = np.zeros(t_pad + 1, np.int32)
-        ip[: len(new_last.indptr)] = new_last.indptr
-        ip[len(new_last.indptr) :] = new_last.indptr[-1]
-        rs = np.zeros(t_pad, np.int32)
-        rs[: len(row_start)] = row_start
         i = idx.n_shards - 1
         idx.post_doc = idx.post_doc.at[i].set(d2)
         idx.post_tf = idx.post_tf.at[i].set(t2)
-        idx.indptr = idx.indptr.at[i].set(ip)
-        idx.row_start = idx.row_start.at[i].set(rs)
         return True
 
     def _refresh_sharded_vals(self) -> None:

@@ -102,6 +102,20 @@ def test_query_embeddings_deterministic():
     assert s1[0] == (q1[0].astype(np.int64) ** 2).sum()
 
 
+def test_rerank_with_empty_vocabulary_segment():
+    """Regression: a segment whose docs tokenize to nothing (empty
+    vocabulary) crashed the device embedding build's term gather; such
+    segments must embed as zero vectors and rerank must still work."""
+    docs = synth_corpus(n_docs=30, vocab_size=200, mean_len=20, seed=19)
+    queries = synth_queries(docs, n_queries=3, seed=20)
+    eng = SearchEngine(IndexConfig(scoring=ScoringConfig(kind="bm25")))
+    eng.build(docs)
+    eng.add_docs(["", "!!! ???"])  # empty-vocab segment
+    ids, ri, lx = eng.search_rerank(queries, k=5, candidates=16)
+    assert ids.shape == (3, 5)
+    assert (ids[0] >= 0).any()
+
+
 def test_engine_search_rerank_end_to_end():
     docs = synth_corpus(n_docs=80, vocab_size=400, mean_len=30, seed=17)
     queries = synth_queries(docs, n_queries=6, seed=18)
