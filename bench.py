@@ -28,7 +28,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"};
 vs_baseline is value / 10_000 (the BASELINE.json:5 target).
 
 Env knobs: BENCH_DOCS (default 1_000_000), BENCH_NQ (4096), BENCH_K (10),
-BENCH_ITERS (24), BENCH_KIND (bm25), BENCH_DEPTH (4, pipelining),
+BENCH_ITERS (24), BENCH_KIND (bm25), BENCH_DEPTH (8, pipelining),
 BENCH_PATH (fused | tables), BENCH_BLOCK (mixed | an int),
 BENCH_AVG_TERMS (60), BENCH_BATCHES (8 distinct query batches),
 BENCH_BUILD (1), BENCH_BUILD_DEVICE (0).
@@ -65,7 +65,7 @@ def main():
     k = int(os.environ.get("BENCH_K", 10))
     iters = int(os.environ.get("BENCH_ITERS", 24))
     kind = os.environ.get("BENCH_KIND", "bm25")
-    depth = int(os.environ.get("BENCH_DEPTH", 4))
+    depth = int(os.environ.get("BENCH_DEPTH", 8))
     n_batches = int(os.environ.get("BENCH_BATCHES", 8))
     path = os.environ.get("BENCH_PATH", "fused")  # fused | tables
     # uniform 2048 measured best for the fused kernel (fewer DMAs and
