@@ -1,7 +1,8 @@
-"""CLI (SURVEY.md §1 L6): index build, search, eval.
+"""CLI (SURVEY.md §1 L6): index build, search, serve, eval.
 
     python -m document_search_engine_tpu index  <corpus_dir> --out <idx_dir>
     python -m document_search_engine_tpu search <idx_dir> "query text" -k 10
+    python -m document_search_engine_tpu serve  <idx_dir>  (queries on stdin)
     python -m document_search_engine_tpu eval   [--kind bm25]
     python -m document_search_engine_tpu bench  (queries/sec/chip, BENCH_* env)
 
@@ -84,6 +85,48 @@ def cmd_search(args):
     return 0
 
 
+def cmd_serve(args):
+    """Pipelined stdin serving loop: one query per line, batched into
+    `--batch`-sized groups, dispatched through the depth-pipelined
+    search_stream; one JSON result line per query on stdout."""
+    from .engine.engine import SearchEngine
+
+    eng = SearchEngine.load(args.index_dir)
+
+    def batches():
+        buf = []
+        for line in sys.stdin:
+            q = line.strip()
+            if not q:
+                continue
+            buf.append(q)
+            if len(buf) >= args.batch:
+                yield buf
+                buf = []
+        if buf:
+            yield buf
+
+    sb = eng.config.scoring.scale_bits
+    n = 0
+    t0 = time.perf_counter()
+    for ids, scores in eng.search_stream(batches(), k=args.k):
+        for row_ids, row_scores in zip(ids, scores):
+            hits = [
+                {"doc": int(g), "score": float(s) / (1 << sb)}
+                for g, s in zip(row_ids, row_scores)
+                if g >= 0
+            ]
+            print(json.dumps({"hits": hits}), flush=True)
+            n += 1
+    dt = time.perf_counter() - t0
+    if n:
+        print(
+            f"[{n} queries in {dt:.3f}s -> {n/dt:,.0f} q/s]",
+            file=sys.stderr,
+        )
+    return 0
+
+
 def cmd_eval(args):
     from .config import IndexConfig, ScoringConfig
     from .engine.engine import SearchEngine
@@ -141,6 +184,14 @@ def main(argv=None):
         help="hybrid dense rerank of the lexical candidates",
     )
     ps.set_defaults(fn=cmd_search)
+
+    pv = sub.add_parser(
+        "serve", help="pipelined batch serving: queries on stdin"
+    )
+    pv.add_argument("index_dir")
+    pv.add_argument("-k", type=int, default=10)
+    pv.add_argument("--batch", type=int, default=256)
+    pv.set_defaults(fn=cmd_serve)
 
     pe = sub.add_parser("eval", help="topic-corpus quality + parity report")
     pe.add_argument("--kind", default="bm25", choices=["tfidf", "bm25"])

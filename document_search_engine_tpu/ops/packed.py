@@ -1,8 +1,12 @@
-"""Packed sort-based scorer+ranker: the production search step.
+"""Packed sort-based scorer+ranker: the portable XLA search step.
 
-Replaces the dense (nq, n_docs) score buffer + scatter-add + giant top-k
-(all of which scale with corpus size and hit TPU scatter, its slowest op)
-with a pipeline whose cost depends only on the postings actually touched:
+On TPU the production step is the fused Pallas kernel
+(ops/fused_pallas.py); the functions here are its bit-identical XLA
+twins — `search_packed_tables` consumes the very same DMA plan tables —
+and the default on CPU backends. All replace the dense (nq, n_docs)
+score buffer + scatter-add + giant top-k (which scale with corpus size
+and hit TPU scatter, its slowest op) with a pipeline whose cost depends
+only on the postings actually touched:
 
 1. pack     — address exactly the CSR postings of each query's slots into a
               (nq, C) buffer, C = pow-2 budget of the batch's max total

@@ -1,6 +1,7 @@
 """Engine lifecycle features: checkpoint save/load, compact, corpus loader,
 CLI, eval metrics (SURVEY.md §5)."""
 import json
+import sys
 
 import numpy as np
 
@@ -96,6 +97,23 @@ def test_cli_end_to_end(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "one.txt" in out or "three.txt" in out
     assert "two.txt" not in out
+    assert main(["search", idx, "apples", "-k", "2", "--rerank"]) == 0
+    assert "rerank=" in capsys.readouterr().out
+    # pipelined stdin serving
+    import io
+
+    monkey_stdin = io.StringIO("apples\ncars\n")
+    real_stdin = sys.stdin
+    sys.stdin = monkey_stdin
+    try:
+        assert main(["serve", idx, "-k", "2", "--batch", "1"]) == 0
+    finally:
+        sys.stdin = real_stdin
+    lines = [
+        json.loads(ln)
+        for ln in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert len(lines) == 2 and lines[0]["hits"] and lines[1]["hits"]
 
 
 def test_build_streaming_equals_bulk():
