@@ -55,6 +55,17 @@ def test_engine_oracle_parity_on_tpu():
             ei, es = eng.search(queries, k=10)
             np.testing.assert_array_equal(ei, oi, f"{kind}/{mode}")
             np.testing.assert_array_equal(es, os_, f"{kind}/{mode}")
+        # incremental updates (device O(delta) refresh + multi-segment
+        # fused search) must hold parity on hardware too
+        eng.scorer = "fused"
+        eng.delete_docs([2, 50])
+        ora.delete_docs([2, 50])
+        eng.add_docs(docs[:3])
+        ora.add_docs(docs[:3])
+        ei, es = eng.search(queries, k=10)
+        oi, os_ = ora.search(queries, k=10)
+        np.testing.assert_array_equal(ei, oi, f"{kind}/incremental")
+        np.testing.assert_array_equal(es, os_, f"{kind}/incremental")
 
 
 @needs_tpu
