@@ -145,19 +145,96 @@ def merge_rank_body(d, ci, *, block: int, s: int, k: int, n_docs: int):
     cand = jnp.where(
         (d != d_next) & (d < n_docs) & (run > 0), run, jnp.int32(-1)
     )
-    # accumulate the k results in lane registers; single store at the end
-    # (outputs are lane-padded to (1, LANES) — Mosaic tiling requirement)
+    if k <= 16:
+        # iterative extraction: ~5 full-array passes per result — the
+        # cheapest exact scheme at small k (the production k=10)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+        vals_out = jnp.full((1, LANES), -1, jnp.int32)
+        docs_out = jnp.full((1, LANES), -1, jnp.int32)
+        for t in range(k):
+            m = jnp.max(cand)
+            sel = jnp.min(jnp.where(cand == m, d, jnp.int32(n_docs)))
+            hit = m > 0
+            vals_out = jnp.where((lane == t) & hit, m, vals_out)
+            docs_out = jnp.where((lane == t) & hit, sel, docs_out)
+            cand = jnp.where(
+                (cand == m) & (d == sel), jnp.int32(-1), cand
+            )
+        return vals_out, docs_out
+
+    # --- large-k (17..128): bitonic tournament top-128 ------------------
+    # Each sublane row is bitonic-sorted by (cand desc, d asc) — rows
+    # alternate descending/ascending — then log2(R) tournament rounds
+    # keep the top 128 of each row pair (elementwise winner of a
+    # desc-sorted row vs an asc-sorted partner is the top-128 set, as a
+    # bitonic sequence) and re-sort with one 7-pass bitonic merge. Fixed
+    # ~84 lane passes for ANY k <= 128, vs ~5k extraction passes
+    # (measured: k=64 extraction dropped serving 50k -> 21k qps).
+    def better(c_a, d_a, c_b, d_b):
+        """a ranks strictly before b under (cand desc, doc asc)."""
+        return (c_a > c_b) | ((c_a == c_b) & (d_a < d_b))
+
+    def ce_lane(c, dd, kk, first_low):
+        """Two-key compare-exchange at lane stride kk: where first_low,
+        the lower index keeps the better-ranked element (and vice
+        versa). Full ties keep both sides in place (consistent)."""
+        pc = xor_perm(c, kk)
+        pd_ = xor_perm(dd, kk)
+        tie = (c == pc) & (dd == pd_)
+        first_pos = jnp.logical_xor(bit_clear(kk), ~first_low)
+        keep = tie | (better(c, dd, pc, pd_) == first_pos)
+        return jnp.where(keep, c, pc), jnp.where(keep, dd, pd_)
+
+    # stage A: bitonic sort of each row's 128 lanes; row r sorts desc
+    # when (r & 1) == 0, asc otherwise
+    row_desc = {}
+
+    def row_bit(rr):
+        if rr not in row_desc:
+            row_desc[rr] = (r_idx & rr) == 0
+        return row_desc[rr]
+
+    for p in (1, 2, 4, 8, 16, 32, 64):
+        # direction of each 2p lane group (final level: one group/row)
+        if 2 * p < LANES:
+            grp_desc = bit_clear(2 * p)
+        else:
+            grp_desc = jnp.ones((r_dim, LANES), bool)
+        dir_desc = jnp.logical_xor(grp_desc, ~row_bit(1))
+        kk = p
+        while kk >= 1:
+            cand, d = ce_lane(cand, d, kk, dir_desc)
+            kk //= 2
+
+    # tournament rounds: winner rows live at multiples of 2s
+    s_stride = 1
+    while s_stride < r_dim:
+        pc = xor_perm(cand, s_stride * LANES)
+        pd_ = xor_perm(d, s_stride * LANES)
+        win = better(cand, d, pc, pd_)
+        cand = jnp.where(win, cand, pc)
+        d = jnp.where(win, d, pd_)
+        # re-sort each (bitonic) row; direction for the next round:
+        # desc when (r & 2s) == 0 (all-desc at the final round)
+        if 2 * s_stride < r_dim:
+            nxt_desc = row_bit(2 * s_stride)
+        else:
+            nxt_desc = jnp.ones((r_dim, LANES), bool)
+        kk = 64
+        while kk >= 1:
+            cand, d = ce_lane(cand, d, kk, nxt_desc)
+            kk //= 2
+        s_stride *= 2
+
+    # row 0 now holds the global top-128, (cand desc, d asc)
+    c0 = cand[0:1, :]
+    d0 = d[0:1, :]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
-    vals_out = jnp.full((1, LANES), -1, jnp.int32)
-    docs_out = jnp.full((1, LANES), -1, jnp.int32)
-    for t in range(k):
-        m = jnp.max(cand)
-        sel = jnp.min(jnp.where(cand == m, d, jnp.int32(n_docs)))
-        hit = m > 0
-        vals_out = jnp.where((lane == t) & hit, m, vals_out)
-        docs_out = jnp.where((lane == t) & hit, sel, docs_out)
-        cand = jnp.where((cand == m) & (d == sel), jnp.int32(-1), cand)
-    return vals_out, docs_out
+    good = (lane < k) & (c0 > 0)
+    return (
+        jnp.where(good, c0, jnp.int32(-1)),
+        jnp.where(good, d0, jnp.int32(-1)),
+    )
 
 
 def _rank_kernel(d_ref, ci_ref, vals_ref, docs_ref, *, block: int, s: int,

@@ -111,15 +111,20 @@ def test_rank_kernel_matches_xla_on_tpu():
             ci[q, b * block : b * block + n] = rng.integers(
                 0, 50, n
             ).astype(np.int32)
-    ref = rank_candidates(
-        jnp.asarray(d), jnp.asarray(ci), jnp.int32(7), s, 10, n_docs
-    )
-    got = rank_candidates_pallas(
-        jnp.asarray(d), jnp.asarray(ci), jnp.int32(7),
-        block=block, s=s, k=10, n_docs=n_docs,
-    )
-    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
-    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(ref[1]))
+    for k in (10, 64):  # k=10: extraction path; k=64: bitonic top-128
+        ref = rank_candidates(
+            jnp.asarray(d), jnp.asarray(ci), jnp.int32(7), s, k, n_docs
+        )
+        got = rank_candidates_pallas(
+            jnp.asarray(d), jnp.asarray(ci), jnp.int32(7),
+            block=block, s=s, k=k, n_docs=n_docs,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got[0]), np.asarray(ref[0]), f"k={k}"
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got[1]), np.asarray(ref[1]), f"k={k}"
+        )
 
 
 @needs_tpu
