@@ -65,8 +65,12 @@ def topic_queries(topics, n_per_topic: int = 5, terms: int = 4, seed: int = 9):
     return queries, np.array(q_topics)
 
 
-def evaluate(engine, queries, q_topics, doc_topics, k: int = 10):
-    ids, _ = engine.search(queries, k=k)
+def evaluate(engine, queries, q_topics, doc_topics, k: int = 10,
+             rerank: bool = False):
+    if rerank:
+        ids, _ri, _lex = engine.search_rerank(queries, k=k)
+    else:
+        ids, _ = engine.search(queries, k=k)
     relevant = [
         np.nonzero(doc_topics == t)[0].tolist() for t in q_topics
     ]

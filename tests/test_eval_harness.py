@@ -31,3 +31,9 @@ def test_topic_eval_parity_and_quality(kind):
     # topic queries should retrieve their own topic's docs well
     assert rep["engine"]["recall@10"] > 0.4, rep
     assert rep["engine"]["map"] > 0.4, rep
+    # the hybrid rerank must not wreck topical quality (BASELINE.json:11)
+    from document_search_engine_tpu.eval.harness import evaluate
+
+    rr = evaluate(eng, queries, q_topics, doc_topics, rerank=True)
+    assert rr["recall@10"] > 0.4, rr
+    assert rr["map"] > 0.3, rr
