@@ -133,16 +133,16 @@ def query_embeddings_int(
 
 
 def _dots_kernel(q_ref, c_ref, out_ref):
-    # q: (1, E) f32, c: (1, K, E) f32 -> out (1, K) f32 (int-valued;
-    # |cells| <= EMB_CLIP keeps the MXU f32 accumulation exact)
-    q = q_ref[0]
-    c = c_ref[0]
-    out_ref[0, :] = jax.lax.dot_general(
+    # q: (1, 1, E) f32, c: (1, K, E) f32 -> out (1, 1, K) f32
+    # (int-valued; |cells| <= EMB_CLIP keeps the MXU f32 accum exact)
+    q = q_ref[0]  # (1, E)
+    c = c_ref[0]  # (K, E)
+    out_ref[0] = jax.lax.dot_general(
+        q,
         c,
-        q[:, None],
-        dimension_numbers=(((1,), (0,)), ((), ())),
+        dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )[:, 0]
+    )  # (1, K)
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -151,7 +151,10 @@ def rerank_dots_pallas(
     cand_emb: jnp.ndarray,  # (nq, K, E) int8
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """(nq, K) int32 exact candidate dots, one query per grid step."""
+    """(nq, K) int32 exact candidate dots, one query per grid step.
+
+    Blocks are 3-D with full trailing dims — Mosaic requires the last
+    two block dims to be tile-divisible or equal to the array dims."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -160,18 +163,23 @@ def rerank_dots_pallas(
         _dots_kernel,
         grid=(nq,),
         in_specs=[
-            pl.BlockSpec((1, e), lambda q: (q, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, e), lambda q: (q, 0, 0), memory_space=pltpu.VMEM
+            ),
             pl.BlockSpec(
                 (1, kk, e), lambda q: (q, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, kk), lambda q: (q, 0), memory_space=pltpu.VMEM
+            (1, 1, kk), lambda q: (q, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((nq, kk), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nq, 1, kk), jnp.float32),
         interpret=interpret,
-    )(qemb.astype(jnp.float32), cand_emb.astype(jnp.float32))
-    return out.astype(jnp.int32)
+    )(
+        qemb.astype(jnp.float32)[:, None, :],
+        cand_emb.astype(jnp.float32),
+    )
+    return out[:, 0, :].astype(jnp.int32)
 
 
 def rerank_dots_ref(qemb: jnp.ndarray, cand_emb: jnp.ndarray) -> jnp.ndarray:

@@ -128,6 +128,33 @@ def test_rank_kernel_matches_xla_on_tpu():
 
 
 @needs_tpu
+def test_rerank_on_tpu():
+    """Hybrid rerank end-to-end on hardware: device int8 embedding
+    build, candidate gather + MXU dots, bitonic large-k candidate gen —
+    deterministic and drawn from the lexical pool."""
+    from document_search_engine_tpu.config import IndexConfig, ScoringConfig
+    from document_search_engine_tpu.corpus.synth import (
+        synth_corpus,
+        synth_queries,
+    )
+    from document_search_engine_tpu.engine.engine import SearchEngine
+
+    docs = synth_corpus(n_docs=100, vocab_size=500, mean_len=30, seed=91)
+    queries = synth_queries(docs, n_queries=5, seed=92)
+    eng = SearchEngine(IndexConfig(scoring=ScoringConfig(kind="bm25")))
+    eng.build(docs)
+    ids, ri, lx = eng.search_rerank(queries, k=10, candidates=32)
+    ids2, ri2, _ = eng.search_rerank(queries, k=10, candidates=32)
+    np.testing.assert_array_equal(ids, ids2)
+    np.testing.assert_array_equal(ri, ri2)
+    pool_ids, _ = eng.search(queries, k=32)
+    for row in range(len(queries)):
+        got = set(i for i in ids[row].tolist() if i >= 0)
+        pool = set(i for i in pool_ids[row].tolist() if i >= 0)
+        assert got <= pool
+
+
+@needs_tpu
 def test_sharded_step_on_tpu():
     """The SPMD sharded step (1-device TPU mesh, fused kernel inside
     shard_map) must match the single-process engine bit-for-bit on the
