@@ -98,6 +98,17 @@ def main():
     on_tpu = jax.devices()[0].platform == "tpu"
     interpret = not on_tpu
 
+    if on_tpu:
+        # tunnel-health probe: serving throughput tracks the dev
+        # tunnel's H2D rate (observed 2-30 MB/s) — log it so recorded
+        # numbers are interpretable
+        probe = np.zeros(1 << 20, np.int32)  # 4 MB
+        _ = np.asarray(jnp.asarray(probe)[:1])  # warm the path
+        t0 = time.perf_counter()
+        _ = np.asarray(jnp.asarray(probe)[:1])
+        h2d = 4.0 / max(time.perf_counter() - t0, 1e-9)
+        log(f"tunnel H2D probe: ~{h2d:.1f} MB/s")
+
     # secondary metric (BASELINE.json:2): index build docs/sec
     if os.environ.get("BENCH_BUILD", "1") == "1":
         from document_search_engine_tpu.corpus.synth import synth_corpus
