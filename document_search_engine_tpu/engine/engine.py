@@ -489,6 +489,9 @@ class SearchEngine:
             scale=scale,
             clip=clip,
             mode=mode,
+            # a forced Pallas mode off-TPU runs in interpreter mode
+            # instead of failing to compile (ADVICE.md round 2)
+            interpret=(jax.devices()[0].platform != "tpu"),
         )
         return outs, idx_map, nq, k
 

@@ -222,7 +222,11 @@ def device_materialize_vals(
         val = tff * inv_norm[post_doc]
     else:  # bm25: val = (tf*(k1+1)) / (tf + K[doc]), exactly rounded
         val = exact_div(tff * k1p1, tff + k_doc[post_doc])
-    val = val * alive[post_doc].astype(jnp.float32)
+    # explicit select, not `val * alive`: padding postings (tf=0,
+    # k_doc=0) make exact_div produce 0/0=NaN, and NaN*0 is NaN — the
+    # stored padding bits must be +0.0 regardless of backend
+    # simplifications (round-2 ADVICE.md)
+    val = jnp.where(alive[post_doc], val, jnp.float32(0.0))
     return jax.lax.bitcast_convert_type(val, jnp.int32)
 
 

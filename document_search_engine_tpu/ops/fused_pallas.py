@@ -293,11 +293,31 @@ def fused_search(
     interpret: bool = False,
 ):
     """Convenience wrapper: host plan + kernel + global-id masking, with
-    the same output contract as search_packed_ds."""
+    the same output contract as search_packed_ds. k > 128 falls back to
+    the bit-identical XLA twin over the same plan tables (the kernel
+    stores top-k in one lane vector) — a k=200 caller gets 200 real
+    hits, not 128 real + 72 fake exhausted slots (ADVICE.md round 2)."""
     srcrow, rem, abits = plan_tables(
         row_start, indptr, rows, coeff, n_blocks, block
     )
-    kk = min(k, LANES)
+    if k > LANES:
+        from .packed import search_packed_tables
+
+        return search_packed_tables(
+            post_doc,
+            post_val,
+            jnp.asarray(srcrow),
+            jnp.asarray(rem),
+            jnp.asarray(abits),
+            jnp.float32(scale),
+            jnp.float32(clip),
+            jnp.int32(doc_base),
+            n_blocks=n_blocks,
+            block=block,
+            s=rows.shape[1],
+            k=k,
+            n_docs=n_docs,
+        )
     vals, docs = fused_search_pallas(
         post_doc,
         post_val,
@@ -307,18 +327,11 @@ def fused_search(
         n_blocks=n_blocks,
         block=block,
         s=rows.shape[1],
-        k=kk,
+        k=k,
         n_docs=n_docs,
         scale=scale,
         clip=clip,
         interpret=interpret,
     )
     gids = jnp.where(vals > 0, docs + doc_base, -1)
-    if kk < k:
-        vals = jnp.concatenate(
-            [vals, jnp.full((vals.shape[0], k - kk), -1, vals.dtype)], 1
-        )
-        gids = jnp.concatenate(
-            [gids, jnp.full((gids.shape[0], k - kk), -1, gids.dtype)], 1
-        )
     return vals, gids

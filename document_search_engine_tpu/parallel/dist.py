@@ -145,7 +145,9 @@ def _sharded_materialize_vals(
             val = tff * inv[pd]
         else:
             val = builder.exact_div(tff * k1p1, tff + kd[pd])
-        val = val * al[pd].astype(jnp.float32)
+        # explicit select (not `val * alive`): padding exact_div(0,0)
+        # is NaN; stored padding must be +0.0 bits (ADVICE.md round 2)
+        val = jnp.where(al[pd], val, jnp.float32(0.0))
         return jax.lax.bitcast_convert_type(val, jnp.int32)
 
     return jax.vmap(one)(post_doc, post_tf, k_doc, inv_norm, alive)
@@ -599,7 +601,11 @@ class DistributedSearchEngine:
             scale=scale,
             clip=clip,
             mode=self.scorer_mode,
-            interpret=False,
+            # a forced Pallas mode on a non-TPU mesh runs in interpreter
+            # mode (correct, slow) instead of failing to compile — this
+            # is also how the 8-virtual-device CPU mesh tests execute
+            # the production fused-in-shard_map configuration
+            interpret=(self.mesh.devices.flat[0].platform != "tpu"),
             mesh_=self.mesh,
         )
         return vals, gids, idxs, nq, k

@@ -138,6 +138,59 @@ def test_build_streaming_equals_bulk():
         np.testing.assert_array_equal(s_ids, o_ids)
 
 
+def test_k_beyond_lane_width_matches_oracle():
+    """k > 128 (the Pallas rank kernels store top-k in one 128-lane
+    vector) must take the bit-identical XLA fallback — for every scorer
+    mode, including a forced "fused" (round-2 VERDICT/ADVICE: the
+    fallback existed but nothing tested k>128)."""
+    from document_search_engine_tpu.oracle import OracleEngine
+
+    docs = synth_corpus(n_docs=300, vocab_size=500, mean_len=30, seed=21)
+    queries = synth_queries(docs, n_queries=4, seed=22)
+    for kind in ("tfidf", "bm25"):
+        cfg = IndexConfig(scoring=ScoringConfig(kind=kind))
+        ora = OracleEngine(cfg)
+        ora.build(docs)
+        o_ids, o_scores = ora.search(queries, k=200)
+        for scorer in (None, "fused", "xla_rank"):
+            eng = SearchEngine(cfg)
+            eng.scorer = scorer
+            eng.build(docs)
+            ids, scores = eng.search(queries, k=200)
+            np.testing.assert_array_equal(ids, o_ids, err_msg=str(scorer))
+            np.testing.assert_array_equal(scores, o_scores)
+    # a query matching >200 docs actually fills slots past lane 128
+    assert (o_ids[:, 129:] > -1).any()
+
+
+def test_fused_search_wrapper_large_k_falls_back():
+    """ops/fused_pallas.fused_search (the public wrapper) must return
+    real results for k > 128, not 128 real + padded -1 slots."""
+    import jax.numpy as jnp
+
+    from document_search_engine_tpu.index import builder
+    from document_search_engine_tpu.ops.fused_pallas import fused_search
+    from document_search_engine_tpu.oracle import spec
+
+    docs = synth_corpus(n_docs=400, vocab_size=60, mean_len=40, seed=31)
+    cfg = IndexConfig(scoring=ScoringConfig(kind="bm25"))
+    a = builder.analyze_texts_fast(docs, cfg)
+    host, dev = builder.build_segment(a, cfg)
+    rows = np.array([[0, 1, 2, 3]], np.int32)
+    coeff = np.ones((1, 4), np.float32)
+    scale = float(np.float32(2.0**cfg.scoring.scale_bits))
+    clip = float(np.float32(int(spec.quant_clip_max(cfg.max_query_terms))))
+    vals, gids = fused_search(
+        dev.post_doc, dev.post_val, host.row_start, host.indptr,
+        rows, coeff, doc_base=0, n_blocks=16, block=512, k=200,
+        n_docs=host.n_docs, scale=scale, clip=clip, interpret=True,
+    )
+    vals = np.asarray(vals)
+    # the old truncation padded everything past lane 128 with -1
+    assert (vals[0, 129:] > 0).any()
+    assert (np.diff(vals[0][vals[0] > 0]) <= 0).all()  # still ranked
+
+
 def test_prof_utils():
     from document_search_engine_tpu.utils import prof
 
