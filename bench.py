@@ -1,37 +1,41 @@
 """Benchmark: batched queries/sec/chip (primary metric, BASELINE.json:2).
 
-Measures an HONEST serving loop over the production fused Pallas search
-step (ops/fused_pallas.py — DMA pack + fixed-point scoring + ranked
-top-k in one kernel): every timed iteration takes a FRESH query batch
-and does, on host, the per-batch bucket planning and DMA-table staging,
-the host->device transfer of the staged tables, one fused dispatch
-covering all buckets, and the device->host readback of the ranked
-(ids, scores) — with a depth-N in-flight window, exactly like
-SearchEngine.search_stream. Nothing is pre-staged inside the timed loop
-except the immutable index (round-1 VERDICT flagged the old bench for
-baking pre-bucketed queries into the step).
+The primary number is the PUBLIC API serving loop (round-2 VERDICT #1):
+`SearchEngine.search_stream` over raw query TEXT batches — tokenize/hash
+analysis, df lookup, slot->row mapping, mixed-block bucket planning,
+host->device staging, ONE fused device dispatch per batch (DMA plan
+tables expand on device), and the single device->host readback of ranked
+(ids, scores) — all inside the timed loop, pipelined depth-N exactly as
+production serving runs. Nothing is pre-staged in the loop except the
+immutable index and the query strings themselves.
 
-The synthetic Zipf index is generated ON DEVICE under jit, in bounded
-chunks: the axon dev tunnel's host->device path measures ~2-30 MB/s (plus
-a ~400s one-time session claim), so shipping the index from host would
-measure the tunnel, not the engine. Real TPU hosts feed HBM at GB/s.
-Work in this step depends on postings touched per query, not corpus
-size, so a 1M-doc single-chip run approximates queries/sec/chip of an
-8M-doc 8-chip document-sharded deployment; an 8M single-chip config is
-also supported directly (BENCH_DOCS=8000000).
+The 1M-doc Zipf index goes through the production build code path with
+its postings GENERATED ON DEVICE: the vocabulary is real token strings
+hashed by the real analyzer, the geometry comes from
+`builder.aligned_geometry`, and the value plane is materialized by
+`builder.device_materialize_vals` — the same jit job the engine's device
+build runs. Only the O(nnz) doc/tf plane contents are synthesized
+in-place on device, because the axon dev tunnel's host->device path
+measures ~2-30 MB/s (a 650 MB triple upload would time the tunnel, not
+the engine; real TPU hosts feed HBM at GB/s). Work per query depends on
+postings touched, not corpus size, so a 1M-doc single-chip run
+approximates queries/sec/chip of an 8M-doc 8-chip document-sharded
+deployment; BENCH_DOCS=8000000 runs the 8M single-chip config directly.
 
-Secondary metrics print to stderr: device-step-only qps (fixed staged
-batch, the round-1 metric), host index build docs/sec, and a
-device-build timing when BENCH_BUILD_DEVICE=1.
+Secondary metrics print to stderr: serving without text analysis
+(pre-analyzed slot arrays through the same dispatch), device-step-only
+qps (fixed staged batch — the round-1/2 metric), and host/device index
+build docs/sec over a real synthetic corpus.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"};
 vs_baseline is value / 10_000 (the BASELINE.json:5 target).
 
 Env knobs: BENCH_DOCS (default 1_000_000), BENCH_NQ (4096), BENCH_K (10),
 BENCH_ITERS (24), BENCH_KIND (bm25), BENCH_DEPTH (8, pipelining),
-BENCH_PATH (fused | tables), BENCH_BLOCK (mixed | an int),
-BENCH_AVG_TERMS (60), BENCH_BATCHES (8 distinct query batches),
-BENCH_BUILD (1), BENCH_BUILD_DEVICE (0).
+BENCH_SCORER ('' = platform default | fused | xla | xla_rank),
+BENCH_TERMS_PER_QUERY (8), BENCH_AVG_TERMS (60, postings density),
+BENCH_BATCHES (8 distinct query batches), BENCH_BUILD (1),
+BENCH_BUILD_DEVICE (0).
 """
 from __future__ import annotations
 
@@ -39,7 +43,6 @@ import json
 import os
 import sys
 import time
-from collections import deque
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -59,6 +62,152 @@ def zipf_df(n_docs: int, vocab: int, avg_terms: int):
     return np.minimum(df, n_docs)
 
 
+def build_synth_engine(n_docs, vocab, avg_terms, cfg, seed=1):
+    """A 1M-doc-scale SearchEngine through the production build path,
+    with the O(nnz) plane contents generated on device (module
+    docstring): real analyzer vocabulary, real aligned geometry, real
+    jit value materialization. Returns (engine, df_by_row, tokens_by_row)
+    so the caller can synthesize matching query TEXT."""
+    import jax
+    import jax.numpy as jnp
+
+    from document_search_engine_tpu.engine.engine import SearchEngine
+    from document_search_engine_tpu.index import builder
+    from document_search_engine_tpu.index.csr import (
+        GlobalStats,
+        SegmentDevice,
+        SegmentHost,
+        round_up,
+    )
+
+    rng = np.random.default_rng(seed)
+    t0 = time.perf_counter()
+    # vocabulary: real token strings through the real analyzer/hasher
+    tokens = [f"w{i:07d}" for i in range(vocab)]
+    a = builder.analyze_texts_fast(tokens, cfg)  # one 1-term doc each
+    assert len(a.hashes) == vocab, "synthetic tokens must hash uniquely"
+    order = np.argsort(a.hashes, kind="stable")
+    term_hash = a.hashes[order]
+    tokens_by_row = [tokens[i] for i in order]
+    df_by_rank = zipf_df(n_docs, vocab, avg_terms)
+    df_by_row = df_by_rank[order]  # rank->hash-row permutation
+    log(f"vocab: {vocab} tokens analyzed+hashed in "
+        f"{time.perf_counter()-t0:.1f}s")
+
+    lens = df_by_row.astype(np.int64)
+    indptr64 = np.zeros(vocab + 1, np.int64)
+    np.cumsum(lens, out=indptr64[1:])
+    indptr = indptr64.astype(np.int32)
+    row_start, x_rows = builder.aligned_geometry(indptr, cfg.nnz_pad_to)
+    total = x_rows * 128
+    log(f"synth index: {n_docs} docs, {vocab} terms, "
+        f"nnz={lens.sum()/1e6:.1f}M aligned={total/1e6:.1f}M slots")
+    al_ind = np.zeros(vocab + 1, np.int64)
+    al_ind[:-1] = row_start
+    al_ind[-1] = total
+
+    gen_chunk = 1 << 24
+
+    @jax.jit
+    def gen(al_start_d, lens_d, key, start):
+        """One chunk of the aligned (doc, tf) planes: per flat slot,
+        derive its term row + in-row position, draw a doc id spread over
+        the corpus and a small tf; out-of-row slots get the sentinel."""
+        i = start + jnp.arange(gen_chunk, dtype=jnp.int32)
+        row = jnp.searchsorted(al_start_d[1:], i, side="right").astype(
+            jnp.int32
+        )
+        row = jnp.minimum(row, vocab - 1)
+        pos = i - al_start_d[row]
+        ln = jnp.maximum(lens_d[row], 1).astype(jnp.float32)
+        u = jax.random.uniform(key, (gen_chunk,), jnp.float32)
+        doc = ((pos.astype(jnp.float32) + u) / ln * n_docs).astype(
+            jnp.int32
+        )
+        doc = jnp.clip(doc, 0, n_docs - 1)
+        tf = jax.random.randint(key, (gen_chunk,), 1, 5, jnp.int32)
+        pad = pos >= lens_d[row]
+        return (
+            jnp.where(pad, n_docs, doc),
+            jnp.where(pad, 0, tf),
+        )
+
+    t0 = time.perf_counter()
+    al_start_d = jnp.asarray(al_ind.astype(np.int32))
+    lens_d = jnp.asarray(lens.astype(np.int32))
+    key = jax.random.PRNGKey(seed)
+    dch, tch = [], []
+    for c0 in range(0, total, gen_chunk):
+        d_c, t_c = gen(
+            al_start_d, lens_d, jax.random.fold_in(key, c0), jnp.int32(c0)
+        )
+        dch.append(d_c)
+        tch.append(t_c)
+    doc2 = jnp.concatenate(dch)[:total].reshape(x_rows, 128)
+    tf2 = jnp.concatenate(tch)[:total].reshape(x_rows, 128)
+    del dch, tch
+
+    # per-doc stats + PRODUCTION value materialization (builder jit job)
+    dl = rng.integers(40, 200, n_docs).astype(np.int32)
+    stats = GlobalStats(
+        vocab=term_hash,
+        df=df_by_row.astype(np.int32),
+        n_alive=n_docs,
+        total_len_alive=int(dl.sum()),
+    )
+    d_pad = round_up(n_docs + 1, cfg.docs_pad_to)
+    alive = np.ones(n_docs, bool)
+    k_doc = builder._pad(
+        builder.host_k_doc(dl, cfg, stats), d_pad, 0, np.float32
+    )
+    if cfg.scoring.kind == "tfidf":
+        # synthetic positive inv-norms (spec norms need per-doc term
+        # lists, which the on-device generator does not materialize)
+        inv = builder._pad(
+            (rng.random(n_docs) * 0.2 + 0.02).astype(np.float32),
+            d_pad, 0, np.float32,
+        )
+    else:
+        inv = np.zeros(d_pad, np.float32)
+    alive_d = jnp.asarray(builder._pad(alive, d_pad, False, bool))
+    inv_d = jnp.asarray(inv)
+    val2 = builder.device_materialize_vals(
+        doc2, tf2, jnp.asarray(k_doc), inv_d, alive_d,
+        jnp.float32(np.float32(cfg.scoring.k1 + 1.0)),
+        kind=cfg.scoring.kind,
+    )
+    host = SegmentHost(
+        term_hash=term_hash,
+        df=df_by_row.astype(np.int32),
+        doc_base=0,
+        n_docs=n_docs,
+        dl=dl,
+        alive=alive,
+        indptr=indptr,
+        row_start=row_start,
+    )
+    device = SegmentDevice(
+        indptr=jnp.asarray(indptr),
+        row_start=jnp.asarray(row_start.astype(np.int32)),
+        post_doc=doc2,
+        post_val=val2,
+        post_tf=tf2,
+        dl=jnp.asarray(
+            builder._pad(dl.astype(np.float32), d_pad, 0, np.float32)
+        ),
+        alive=alive_d,
+        inv_norm=inv_d,
+    )
+    eng = SearchEngine(cfg)
+    eng.segments = [[host, device]]
+    eng.stats = stats
+    eng.n_docs_total = n_docs
+    _ = np.asarray(device.post_val[:1, :1])  # force generation
+    log(f"index gen (device, incl. jit materialize): "
+        f"{time.perf_counter()-t0:.1f}s")
+    return eng, df_by_row, tokens_by_row
+
+
 def main():
     n_docs = int(os.environ.get("BENCH_DOCS", 1_000_000))
     nq = int(os.environ.get("BENCH_NQ", 4096))
@@ -67,41 +216,26 @@ def main():
     kind = os.environ.get("BENCH_KIND", "bm25")
     depth = int(os.environ.get("BENCH_DEPTH", 8))
     n_batches = int(os.environ.get("BENCH_BATCHES", 8))
-    path = os.environ.get("BENCH_PATH", "fused")  # fused | tables
-    # uniform 2048 measured best for the fused kernel (fewer DMAs and
-    # fewer merge levels beat the finer blocks' padding savings:
-    # mixed 30.6k < 1024 47.6k < 2048 51.7k qps on the dev chip)
-    block_env = os.environ.get("BENCH_BLOCK", "2048")
+    scorer = os.environ.get("BENCH_SCORER", "") or None
+    tpq = int(os.environ.get("BENCH_TERMS_PER_QUERY", 8))
     vocab = max(50_000, n_docs // 5)
     avg_terms = int(os.environ.get("BENCH_AVG_TERMS", 60))
 
     enable_persistent_cache()
     import jax
-    import jax.numpy as jnp
 
     from document_search_engine_tpu.config import IndexConfig, ScoringConfig
-    from document_search_engine_tpu.index.builder import aligned_geometry
-    from document_search_engine_tpu.ops.fused_pallas import (
-        fused_search_pallas,
-        plan_tables,
-    )
-    from document_search_engine_tpu.ops.packed import search_packed_tables
-    from document_search_engine_tpu.ops.schedule import (
-        blocks_per_query,
-        bucket_queries,
-        plan_batch,
-    )
-    from document_search_engine_tpu.oracle import spec
 
     log(f"platform: {jax.devices()[0].platform} x{len(jax.devices())}")
     cfg = IndexConfig(scoring=ScoringConfig(kind=kind))
     on_tpu = jax.devices()[0].platform == "tpu"
-    interpret = not on_tpu
 
     if on_tpu:
         # tunnel-health probe: serving throughput tracks the dev
         # tunnel's H2D rate (observed 2-30 MB/s) — log it so recorded
         # numbers are interpretable
+        import jax.numpy as jnp
+
         probe = np.zeros(1 << 20, np.int32)  # 4 MB
         _ = np.asarray(jnp.asarray(probe)[:1])  # warm the path
         t0 = time.perf_counter()
@@ -125,205 +259,108 @@ def main():
             f"{len(bd)/dt:,.0f} docs/sec (host analyze+pack+materialize)"
         )
         if os.environ.get("BENCH_BUILD_DEVICE", "0") == "1":
-            eng = SearchEngine(cfg)
-            eng.device_build = True
+            eng_b = SearchEngine(cfg)
+            eng_b.device_build = True
             t0 = time.perf_counter()
-            eng.build(bd)
+            eng_b.build(bd)
             dt = time.perf_counter() - t0
             log(
                 f"device build: {len(bd)} docs in {dt:.2f}s -> "
                 f"{len(bd)/dt:,.0f} docs/sec (jit pack+materialize)"
             )
 
-    # ---- synthetic aligned index, generated on device ------------------
-    df = zipf_df(n_docs, vocab, avg_terms)
-    lens = df.astype(np.int64)
-    indptr64 = np.zeros(vocab + 1, np.int64)
-    np.cumsum(lens, out=indptr64[1:])
-    indptr = indptr64.astype(np.int32)
-    row_start, x_rows = aligned_geometry(indptr, cfg.nnz_pad_to)
-    total = x_rows * 128
-    log(
-        f"synth index: {n_docs} docs, {vocab} terms, "
-        f"nnz={lens.sum()/1e6:.1f}M aligned={total/1e6:.1f}M slots"
+    # ---- the index (production build path, device-generated planes) ----
+    eng, df_by_row, tokens_by_row = build_synth_engine(
+        n_docs, vocab, avg_terms, cfg, seed=1
     )
-    al_ind = np.zeros(vocab + 1, np.int64)
-    al_ind[:-1] = row_start
-    al_ind[-1] = total
+    if scorer:
+        eng.scorer = scorer
 
-    gen_chunk = 1 << 24
-
-    @jax.jit
-    def gen(al_start_d, lens_d, key, start):
-        i = start + jnp.arange(gen_chunk, dtype=jnp.int32)
-        row = jnp.searchsorted(al_start_d[1:], i, side="right").astype(
-            jnp.int32
-        )
-        row = jnp.minimum(row, vocab - 1)
-        pos = i - al_start_d[row]
-        ln = jnp.maximum(lens_d[row], 1).astype(jnp.float32)
-        u = jax.random.uniform(key, (gen_chunk,), jnp.float32)
-        doc = ((pos.astype(jnp.float32) + u) / ln * n_docs).astype(
-            jnp.int32
-        )
-        doc = jnp.clip(doc, 0, n_docs - 1)
-        val = jax.random.uniform(key, (gen_chunk,), jnp.float32)
-        val = val * 0.9 + 0.05
-        pad = pos >= lens_d[row]
-        return (
-            jnp.where(pad, n_docs, doc),
-            jax.lax.bitcast_convert_type(jnp.where(pad, 0.0, val), jnp.int32),
-        )
-
-    t0 = time.perf_counter()
-    al_start_d = jnp.asarray(al_ind.astype(np.int32))
-    lens_d = jnp.asarray(lens.astype(np.int32))
-    key = jax.random.PRNGKey(1)
-    dch, vch = [], []
-    for c0 in range(0, total, gen_chunk):
-        d_c, v_c = gen(
-            al_start_d, lens_d, jax.random.fold_in(key, c0), jnp.int32(c0)
-        )
-        dch.append(d_c)
-        vch.append(v_c)
-    doc2d = jnp.concatenate(dch)[:total].reshape(x_rows, 128)
-    val2d = jnp.concatenate(vch)[:total].reshape(x_rows, 128)
-    del dch, vch
-    _ = np.asarray(doc2d[:1, :1])
-    log(f"index gen (device): {time.perf_counter()-t0:.1f}s")
-
-    # ---- fresh query batches -------------------------------------------
-    s_slots = 8
+    # ---- fresh raw-TEXT query batches ----------------------------------
     rng = np.random.default_rng(7)
-    eligible = np.where((df >= 64) & (df <= 32768))[0]
+    eligible = np.where((df_by_row >= 64) & (df_by_row <= 32768))[0]
     batches = []
     for b in range(n_batches):
-        rows = rng.choice(eligible, size=(nq, s_slots)).astype(np.int32)
-        coeff = rng.random((nq, s_slots)).astype(np.float32) * 2.0 + 0.1
-        batches.append((rows, coeff))
-    avg_post = int(
-        (indptr64[batches[0][0] + 1] - indptr64[batches[0][0]])
-        .sum(1)
-        .mean()
-    )
+        rows = rng.choice(eligible, size=(nq, tpq))
+        batches.append(
+            [" ".join(tokens_by_row[r] for r in qr) for qr in rows]
+        )
+    avg_post = int(df_by_row[rows].sum(1).mean())
     log(
-        f"queries: nq={nq} slots={s_slots} x {n_batches} fresh batches "
-        f"(avg postings/query {avg_post}) path={path} block={block_env}"
+        f"queries: nq={nq} terms/query={tpq} x {n_batches} fresh TEXT "
+        f"batches (avg postings/query {avg_post}) "
+        f"scorer={eng.scorer_mode}"
     )
 
-    scale = float(np.float32(2.0**cfg.scoring.scale_bits))
-    clip = float(
-        np.float32(int(spec.quant_clip_max(cfg.max_query_terms)))
-    )
-    found_all = np.ones((nq, s_slots), bool)
-
-    def make_plan(rows, coeff):
-        """Host planning for one batch: [(idx, srcrow, rem, abits, nb,
-        blk)] + static signature."""
-        if block_env == "mixed":
-            plans = plan_batch(indptr, rows, found_all)
-        else:
-            blk = int(block_env)
-            nblk_q = blocks_per_query(indptr, rows, found_all, blk)
-            plans = [
-                (idx, nb, blk) for idx, nb in bucket_queries(nblk_q)
-            ]
-        staged = []
-        for idx, nb, blk in plans:
-            bq = 1 << int(np.ceil(np.log2(max(len(idx), 1))))
-            r_sub = np.zeros((bq, s_slots), np.int32)
-            a_sub = np.zeros((bq, s_slots), np.float32)
-            r_sub[: len(idx)] = rows[idx]
-            a_sub[: len(idx)] = coeff[idx]
-            sr, rm, ab = plan_tables(row_start, indptr, r_sub, a_sub, nb, blk)
-            staged.append((idx, sr, rm, ab, nb, blk))
-        return staged
-
-    import functools
-
-    @functools.partial(
-        jax.jit, static_argnames=("sig",)
-    )
-    def serve_step(doc2d, val2d, tables, sig):
-        outs_v, outs_g = [], []
-        for (sr, rm, ab), (nb, blk) in zip(tables, sig):
-            if path == "fused":
-                v, dloc = fused_search_pallas(
-                    doc2d, val2d, sr, rm, ab, n_blocks=nb, block=blk,
-                    s=s_slots, k=k, n_docs=n_docs, scale=scale,
-                    clip=clip, interpret=interpret,
-                )
-                g = jnp.where(v > 0, dloc, -1)
-            else:
-                v, g = search_packed_tables(
-                    doc2d, val2d, sr, rm, ab, jnp.float32(scale),
-                    jnp.float32(clip), jnp.int32(0), n_blocks=nb,
-                    block=blk, s=s_slots, k=k, n_docs=n_docs,
-                )
-            outs_v.append(v)
-            outs_g.append(g)
-        # one readback array per batch: [vals | gids] side by side
-        return jnp.concatenate(
-            [jnp.concatenate(outs_v, 0), jnp.concatenate(outs_g, 0)], 1
-        )
-
-    def dispatch(rows, coeff):
-        staged = make_plan(rows, coeff)
-        sig = tuple((nb, blk) for _, _, _, _, nb, blk in staged)
-        tables = tuple(
-            (jnp.asarray(sr), jnp.asarray(rm), jnp.asarray(ab))
-            for _, sr, rm, ab, _, _ in staged
-        )
-        out = serve_step(doc2d, val2d, tables, sig)
-        return out, [st[0] for st in staged], sig
-
-    def collect(fut):
-        out, idxs, sig = fut
-        host = np.asarray(out)  # ONE device->host read per batch
-        ids = np.full((nq, k), -1, np.int64)
-        scores = np.full((nq, k), -1, np.int64)
-        off = 0
-        for idx in idxs:
-            bq = 1 << int(np.ceil(np.log2(max(len(idx), 1))))
-            scores[idx] = host[off : off + len(idx), :k]
-            ids[idx] = host[off : off + len(idx), k:]
-            off += bq
-        return ids, scores
-
-    # warmup: compile every batch signature once
+    # warmup: compile every batch signature once through the PUBLIC API
     t0 = time.perf_counter()
-    for b in range(n_batches):
-        _ = collect(dispatch(*batches[b]))
-    log(f"compile+warmup ({n_batches} batches): {time.perf_counter()-t0:.1f}s")
+    for _ids, _sc in eng.search_stream(iter(batches), k=k, depth=depth):
+        pass
+    log(f"compile+warmup ({n_batches} batches): "
+        f"{time.perf_counter()-t0:.1f}s")
 
-    # ---- HONEST serving loop (primary): fresh batch per iteration ------
+    # ---- PRIMARY: the public-API serving loop over raw text ------------
+    def batch_iter():
+        for i in range(iters):
+            yield batches[i % n_batches]
+
     t0 = time.perf_counter()
-    inflight = deque()
-    for i in range(iters):
-        inflight.append(dispatch(*batches[i % n_batches]))
-        if len(inflight) >= depth:
-            _ = collect(inflight.popleft())
-    while inflight:
-        _ = collect(inflight.popleft())
+    n_out = 0
+    for ids, _scores in eng.search_stream(batch_iter(), k=k, depth=depth):
+        n_out += len(ids)
     dt = time.perf_counter() - t0
+    assert n_out == nq * iters
     qps = nq * iters / dt
     log(
-        f"serving: {iters} iters in {dt:.3f}s -> {qps:,.0f} q/s/chip "
-        f"({dt/iters*1e3:.2f} ms/batch of {nq}; plan+stage+H2D+dispatch+"
-        f"D2H, depth {depth})"
+        f"engine serving: {iters} iters in {dt:.3f}s -> {qps:,.0f} "
+        f"q/s/chip ({dt/iters*1e3:.2f} ms/batch of {nq}; "
+        f"SearchEngine.search_stream over raw text: analyze+plan+stage+"
+        f"H2D+dispatch+D2H, depth {depth})"
     )
 
-    # ---- device-step-only secondary (fixed staged batch, r01 metric) ---
-    staged0 = make_plan(*batches[0])
-    sig0 = tuple((nb, blk) for _, _, _, _, nb, blk in staged0)
-    tables0 = tuple(
-        (jnp.asarray(sr), jnp.asarray(rm), jnp.asarray(ab))
-        for _, sr, rm, ab, _, _ in staged0
-    )
+    # ---- secondary: same loop minus text analysis ----------------------
+    pre = [eng.frontend.analyze(b, eng.stats) for b in batches]
+    from collections import deque
+
     t0 = time.perf_counter()
     inflight = deque()
     for i in range(iters):
-        inflight.append(serve_step(doc2d, val2d, tables0, sig0))
+        slot_h, coeff = pre[i % n_batches]
+        inflight.append(eng._dispatch(slot_h, coeff, k))
+        if len(inflight) >= depth:
+            _ = eng._collect(inflight.popleft())
+    while inflight:
+        _ = eng._collect(inflight.popleft())
+    dt1 = time.perf_counter() - t0
+    log(
+        f"serving w/o analysis: {nq*iters/dt1:,.0f} q/s/chip "
+        f"({dt1/iters*1e3:.2f} ms/batch; pre-analyzed slot arrays, "
+        f"plan+stage+H2D+dispatch+D2H)"
+    )
+
+    # ---- secondary: device step only (fixed staged batch, r01 metric) --
+    import jax.numpy as jnp
+
+    from document_search_engine_tpu.engine import engine as engine_mod
+
+    captured = {}
+    real_step = engine_mod._batch_step
+
+    def capture_step(*args, **kw):
+        captured["args"], captured["kw"] = args, kw
+        return real_step(*args, **kw)
+
+    engine_mod._batch_step = capture_step
+    try:
+        fut = eng._dispatch(*pre[0], k)
+        _ = eng._collect(fut)
+    finally:
+        engine_mod._batch_step = real_step
+    args, kw = captured["args"], captured["kw"]
+    t0 = time.perf_counter()
+    inflight = deque()
+    for i in range(iters):
+        inflight.append(real_step(*args, **kw))
         if len(inflight) >= depth:
             _ = np.asarray(inflight.popleft())
     while inflight:

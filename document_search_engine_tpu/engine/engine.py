@@ -26,7 +26,7 @@ import numpy as np
 from ..config import IndexConfig
 from ..index import builder
 from ..index.csr import GlobalStats, SegmentDevice, SegmentHost, merge_stats
-from ..ops.schedule import plan_batch
+from ..ops.schedule import DEFAULT_FAMILIES, FUSED_FAMILIES, plan_batch
 from ..oracle import spec
 from .query import QueryFrontend, segment_rows
 
@@ -48,9 +48,9 @@ def _batch_step(
     doc_bases,  # (n_segments,) i32
     indptrs,  # tuple of per-segment (T+1,) i32 device indptr
     row_starts,  # tuple of per-segment (T,) i32 device aligned starts
-    rowss,  # tuple of per-bucket (bq, S) i32 term rows
-    cbitss,  # tuple of per-bucket (bq, S) i32 bitcast-f32 coefficients
-    plan,  # static: per segment (n_docs, s, ((n_blocks, block), ...))
+    rows_cat,  # (sum of bucket bq, S) i32 term rows, all buckets stacked
+    cbits_cat,  # (sum of bucket bq, S) i32 bitcast-f32 coefficients
+    plan,  # static: per segment (n_docs, s, ((n_blocks, block, bq), ...))
     k: int,
     scale: float,
     clip: float,
@@ -73,11 +73,14 @@ def _batch_step(
     from ..ops.packed import search_packed_tables
 
     out_v, out_g = [], []
-    bi = 0
+    off = 0
     for si, (n_docs, s, buckets) in enumerate(plan):
-        for n_blocks, block in buckets:
+        for n_blocks, block, bq in buckets:
+            rows_b = jax.lax.slice_in_dim(rows_cat, off, off + bq)
+            cbits_b = jax.lax.slice_in_dim(cbits_cat, off, off + bq)
+            off += bq
             sr, rm, ab = expand_plan_tables(
-                row_starts[si], indptrs[si], rowss[bi], cbitss[bi],
+                row_starts[si], indptrs[si], rows_b, cbits_b,
                 n_blocks, block,
             )
             # the kernel returns top-k in one lane vector (k <= 128);
@@ -121,7 +124,6 @@ def _batch_step(
                 )
             out_v.append(v)
             out_g.append(g)
-            bi += 1
     return jnp.concatenate(
         [jnp.concatenate(out_v, 0), jnp.concatenate(out_g, 0)], 1
     )
@@ -461,25 +463,28 @@ class SearchEngine:
         clip = float(
             F32(int(spec.quant_clip_max(self.config.max_query_terms)))
         )
-        plan = []  # static: per segment (n_docs, s, ((nb, blk), ...))
+        # block families are scorer-tuned: the fused kernel wants fewer,
+        # larger DMAs (ops/schedule.py FUSED_FAMILIES rationale)
+        families = FUSED_FAMILIES if mode == "fused" else DEFAULT_FAMILIES
+        plan = []  # static: per segment (n_docs, s, ((nb, blk, bq), ...))
         idx_map = []  # per segment: list of original-query index arrays
-        rowss, cbitss = [], []
+        r_subs, a_subs = [], []
         for host, device in self.segments:
             rows, found = segment_rows(host.term_hash, slot_h)
             a_seg = np.where(found, coeff, F32(0.0)).astype(F32)
             buckets = []
             idxs = []
             for idx, n_blocks, block in plan_batch(
-                host.indptr, rows, found
+                host.indptr, rows, found, families=families
             ):
                 bq = _pow2_at_least(len(idx))
                 r_sub = np.zeros((bq, s), np.int32)
                 a_sub = np.zeros((bq, s), F32)
                 r_sub[: len(idx)] = rows[idx]
                 a_sub[: len(idx)] = a_seg[idx]
-                rowss.append(jnp.asarray(r_sub))
-                cbitss.append(jnp.asarray(a_sub.view(np.int32)))
-                buckets.append((n_blocks, block))
+                r_subs.append(r_sub)
+                a_subs.append(a_sub)
+                buckets.append((n_blocks, block, bq))
                 idxs.append(idx)
             plan.append((host.n_docs, s, tuple(buckets)))
             idx_map.append(idxs)
@@ -492,8 +497,9 @@ class SearchEngine:
             doc_bases,
             tuple(d.indptr for _, d in self.segments),
             tuple(d.row_start for _, d in self.segments),
-            tuple(rowss),
-            tuple(cbitss),
+            # ONE stacked H2D pair per batch, sliced statically under jit
+            jnp.asarray(np.concatenate(r_subs, axis=0)),
+            jnp.asarray(np.concatenate(a_subs, axis=0).view(np.int32)),
             plan=tuple(plan),
             k=k,
             scale=scale,

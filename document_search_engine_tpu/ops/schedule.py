@@ -46,6 +46,12 @@ def blocks_per_query(
 # sub-programs and tiny slices cost more than the padding they save).
 DEFAULT_FAMILIES = ((8192, 256), (None, 1024))
 
+# The fused Pallas kernel prefers fewer, larger DMAs and fewer merge
+# levels over padding savings: round-2 bench measured uniform 2048 at
+# 51.7k qps vs 47.6k (1024) and 30.6k (the mixed 256/1024 split) on the
+# 1M-doc Zipf index. Used when the serving step runs the fused kernel.
+FUSED_FAMILIES = ((None, 2048),)
+
 
 def plan_batch(
     indptr: np.ndarray,
@@ -78,6 +84,34 @@ def plan_batch(
         if not len(idx_f):
             continue
         nblk = (-(-lens[idx_f] // blk)).sum(axis=1)
+        for sub, nb in bucket_queries(nblk):
+            plans.append((idx_f[sub], nb, blk))
+    return plans
+
+
+def plan_batch_sharded(lens_sh: np.ndarray, families=DEFAULT_FAMILIES):
+    """Mixed-block schedule for the sharded engine: same family logic as
+    plan_batch, but budgets are max-over-shards (SPMD programs need
+    uniform shapes across the mesh). lens_sh is (n_shards, nq, S)
+    per-slot postings lengths (0 where missing).
+
+    Returns [(query_indices, n_blocks, block_size)] covering every query
+    exactly once; n_blocks = max over shards of that bucket's need.
+    """
+    n_shards, nq, s = lens_sh.shape
+    totals = lens_sh.sum(axis=2).max(axis=0)  # (nq,)
+    plans = []
+    assigned = np.zeros(nq, bool)
+    for threshold, blk in families:
+        if threshold is None:
+            fam = ~assigned
+        else:
+            fam = (totals <= threshold) & ~assigned
+        assigned |= fam
+        idx_f = np.nonzero(fam)[0]
+        if not len(idx_f):
+            continue
+        nblk = (-(-lens_sh[:, idx_f] // blk)).sum(axis=2).max(axis=0)
         for sub, nb in bucket_queries(nblk):
             plans.append((idx_f[sub], nb, blk))
     return plans
