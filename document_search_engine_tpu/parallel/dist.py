@@ -1,16 +1,34 @@
 """Document-sharded index + SPMD search (BASELINE.json:5).
 
 Each shard owns a contiguous global doc-id range and holds its own CSR
-segment (own vocabulary) padded to fleet-uniform shapes. One search step
-under `shard_map`: local fixed-point scoring -> local ranked top-k ->
-`all_gather` of (score, gid) candidates over the `docs` axis (ICI) ->
-replicated k-way merge, "so multi-chip corpora return one global ranked
-list". Scores are integer fixed-point (DESIGN.md §2), so rankings are
-bit-identical for every shard count — tested 1 vs N.
+postings planes, padded to fleet-uniform shapes. Rows are indexed by the
+CORPUS-GLOBAL sorted vocabulary: a term absent from a shard simply has
+row length 0 there (its aligned planes are unchanged by this choice —
+absent rows occupy zero aligned records). That one invariant buys the
+whole serving path:
+
+- ONE host vocab lookup per batch (not one per shard),
+- ONE replicated (bq, S) rows/coeff table per bucket shipped to the
+  mesh (not n_shards staged DMA-table triples),
+- per-shard DMA plan tables expanded ON DEVICE inside the SPMD program
+  from the shard's resident global-row indptr/row_start tables.
+
+One search step under `shard_map`: device plan expansion -> local
+fixed-point scoring (fused Pallas kernel on TPU meshes) -> local ranked
+top-k -> `all_gather` of (score, gid) candidates over the `docs` axis
+(ICI) -> replicated k-way merge, "so multi-chip corpora return one
+global ranked list". Scores are integer fixed-point (DESIGN.md §2), so
+rankings are bit-identical for every shard count — tested 1 vs N.
+
+The sharded build is ONE SPMD job (SURVEY.md §3b): host analysis stages
+stacked (global row, local doc, tf) triples with one sharded device_put,
+and a single jit shard_map program sorts, packs the aligned planes,
+materializes values, and computes the corpus-global df by `jax.lax.psum`
+over the docs axis — O(1) dispatches per corpus, not O(shards).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from functools import partial
 
 import jax
@@ -23,7 +41,11 @@ from ..config import IndexConfig
 from ..engine.query import QueryFrontend, segment_rows
 from ..index import builder
 from ..index.csr import GlobalStats, merge_stats, round_up
-from ..ops.schedule import blocks_per_query, bucket_queries
+from ..ops.schedule import (
+    DEFAULT_FAMILIES,
+    FUSED_FAMILIES,
+    plan_batch_sharded,
+)
 from ..ops.topk import merge_candidates
 from ..oracle import spec
 from .mesh import DOCS_AXIS, make_mesh
@@ -43,11 +65,22 @@ class ShardedIndex:
     post_tf: jnp.ndarray  # (n_shards, X, 128) i32
     alive: jnp.ndarray  # (n_shards, D_pad) bool
     doc_base: jnp.ndarray  # (n_shards, 1) i32
+    # per-shard CSR lookup tables in the GLOBAL row space (module
+    # docstring): indptr_g[i][r+1]-indptr_g[i][r] is shard i's postings
+    # count for global term row r (0 when absent), row_start_d[i][r] its
+    # aligned flat start in shard i's planes. Host copy for bucket
+    # planning, sharded device copy for on-device plan expansion.
+    indptr_g: np.ndarray  # host (n_shards, t_pad+1) i32
+    indptr_d: jnp.ndarray  # (n_shards, t_pad+1) i32, sharded
+    row_start_d: jnp.ndarray  # (n_shards, t_pad) i32, sharded
     hosts: list  # per-shard SegmentHost (numpy metadata)
     stats: GlobalStats
     n_shards: int
     d_pad: int
-    t_pad: int  # uniform padded vocab size (sizes incremental updates)
+    t_pad: int  # padded GLOBAL vocab size (sizes incremental updates)
+    # device-psum'd global df from the SPMD build (None for host
+    # assembly); tests pin it equal to the host stats merge
+    df_psum: np.ndarray | None = field(default=None, repr=False)
 
 
 def _ensure_host_csr(h) -> None:
@@ -65,19 +98,48 @@ def _ensure_host_csr(h) -> None:
     h.post_tf = nh.post_tf
 
 
+def _global_t_pad(stats: GlobalStats) -> int:
+    """Padded global vocab size: ~25% growth headroom so incremental
+    adds that introduce new terms fit without a shape change."""
+    tg = len(stats.vocab)
+    return round_up(tg + max(tg // 4, 64), 64)
+
+
+def _global_tables_one(h, stats: GlobalStats, t_pad: int):
+    """One shard's (indptr_g, row_start_g) in the global row space."""
+    lens_g = np.zeros(t_pad, np.int64)
+    rs = np.zeros(t_pad, np.int64)
+    if h.n_terms:
+        gmap = np.searchsorted(stats.vocab, h.term_hash)
+        lens_g[gmap] = np.diff(h.indptr)
+        rs[gmap] = h.row_start
+    ip = np.zeros(t_pad + 1, np.int64)
+    np.cumsum(lens_g, out=ip[1:])
+    return ip.astype(np.int32), rs.astype(np.int32)
+
+
+def _global_tables(hosts, stats: GlobalStats, t_pad: int):
+    n_shards = len(hosts)
+    ipg = np.zeros((n_shards, t_pad + 1), np.int32)
+    rsg = np.zeros((n_shards, t_pad), np.int32)
+    for i, h in enumerate(hosts):
+        ipg[i], rsg[i] = _global_tables_one(h, stats, t_pad)
+    return ipg, rsg
+
+
 def assemble_sharded(hosts, config: IndexConfig, mesh: Mesh) -> ShardedIndex:
     """Pack per-shard host metadata into fleet-uniform padded device
-    arrays with corpus-global stats; used by build and incremental
-    updates (the device arrays are fully derivable from SegmentHost)."""
+    arrays with corpus-global stats; used by host build, checkpoint
+    load/reshard and incremental fallbacks (the device arrays are fully
+    derivable from SegmentHost)."""
     for h in hosts:
         _ensure_host_csr(h)
     n_shards = len(hosts)
     stats = merge_stats(hosts)
-    # ~25% vocab and ~12.5% postings growth headroom so small incremental
-    # adds fit the padded shapes and take the O(delta) last-shard update
-    # instead of a full reassembly (_update_last_shard)
-    t_max = max(h.n_terms for h in hosts)
-    t_pad = round_up(t_max + max(t_max // 4, 64), 64)
+    t_pad = _global_t_pad(stats)
+    # ~12.5% postings growth headroom so small incremental adds fit the
+    # padded shapes and take the O(delta) last-shard update instead of a
+    # full reassembly (_update_last_shard)
     d_pad = round_up(max(h.n_docs for h in hosts) + 1, config.docs_pad_to)
     geoms = [
         builder.aligned_geometry(h.indptr, config.nnz_pad_to)
@@ -102,6 +164,7 @@ def assemble_sharded(hosts, config: IndexConfig, mesh: Mesh) -> ShardedIndex:
         pt[i] = t2
         al[i, : h.n_docs] = h.alive
 
+    ipg, rsg = _global_tables(hosts, stats, t_pad)
     shard0 = NamedSharding(mesh, P(DOCS_AXIS))
     return ShardedIndex(
         post_doc=jax.device_put(pd, shard0),
@@ -114,6 +177,9 @@ def assemble_sharded(hosts, config: IndexConfig, mesh: Mesh) -> ShardedIndex:
             ).reshape(n_shards, 1),
             shard0,
         ),
+        indptr_g=ipg,
+        indptr_d=jax.device_put(ipg, shard0),
+        row_start_d=jax.device_put(rsg, shard0),
         hosts=hosts,
         stats=stats,
         n_shards=n_shards,
@@ -140,44 +206,41 @@ def _sharded_materialize_vals(
     """
 
     def one(pd, pt, kd, inv, al):
-        tff = pt.astype(jnp.float32)
-        if kind == "tfidf":
-            val = tff * inv[pd]
-        else:
-            val = builder.exact_div(tff * k1p1, tff + kd[pd])
-        # explicit select (not `val * alive`): padding exact_div(0,0)
-        # is NaN; stored padding must be +0.0 bits (ADVICE.md round 2)
-        val = jnp.where(al[pd], val, jnp.float32(0.0))
-        return jax.lax.bitcast_convert_type(val, jnp.int32)
+        return _materialize_plane(pd, pt, kd, inv, al, k1p1, kind)
 
     return jax.vmap(one)(post_doc, post_tf, k_doc, inv_norm, alive)
+
+
+def _materialize_plane(pd, pt, kd, inv, al, k1p1, kind: str):
+    """Shared value-materialization body (DESIGN.md §2/§4 exactness
+    notes live on builder.device_materialize_vals)."""
+    tff = pt.astype(jnp.float32)
+    if kind == "tfidf":
+        val = tff * inv[pd]
+    else:
+        val = builder.exact_div(tff * k1p1, tff + kd[pd])
+    # explicit select (not `val * alive`): padding exact_div(0,0)
+    # is NaN; stored padding must be +0.0 bits (ADVICE.md round 2)
+    val = jnp.where(al[pd], val, jnp.float32(0.0))
+    return jax.lax.bitcast_convert_type(val, jnp.int32)
 
 
 def build_sharded(
     texts, config: IndexConfig, mesh: Mesh, device_build: bool = True
 ) -> ShardedIndex:
     """Build a document-sharded index: contiguous doc ranges per shard,
-    corpus-global df/idf (host merge; `psum` in the SPMD build demo),
-    fleet-uniform padded shapes.
+    corpus-global vocabulary/df, fleet-uniform padded shapes.
 
-    device_build (default): each shard's CSR pack + materialization is a
-    jit device job (builder.build_segment_device) — the BASELINE.json:5
-    "index build is itself a jit-compiled batch job"; the padded stacked
-    planes assemble on device. The host build remains as the
-    tested-equal fallback."""
+    device_build (default): the ONE-SPMD-JOB build (build_sharded_spmd)
+    — "index build is itself a jit-compiled batch job" (BASELINE.json:5)
+    scaled over the mesh, global df by psum (SURVEY.md §3b). The host
+    build remains as the tested-equal fallback."""
     texts = list(texts)
+    if device_build:
+        return build_sharded_spmd(texts, config, mesh)
     n_shards = mesh.devices.size
     n_docs = len(texts)
     per = -(-n_docs // n_shards) if n_docs else 1
-    if device_build:
-        segs = []
-        for i in range(n_shards):
-            lo, hi = min(i * per, n_docs), min((i + 1) * per, n_docs)
-            a = builder.analyze_texts_fast(texts[lo:hi], config)
-            segs.append(
-                builder.build_segment_device(a, config, doc_base=lo)
-            )
-        return assemble_sharded_device(segs, config, mesh)
     hosts = []
     for i in range(n_shards):
         lo, hi = min(i * per, n_docs), min((i + 1) * per, n_docs)
@@ -186,55 +249,202 @@ def build_sharded(
     return assemble_sharded(hosts, config, mesh)
 
 
-def assemble_sharded_device(segs, config: IndexConfig, mesh: Mesh):
-    """Stack per-shard DEVICE-BUILT segments into the fleet-uniform
-    sharded index: planes are padded and stacked on device (the O(nnz)
-    postings never round-trip to host), then values refresh for the
-    corpus-global stats."""
-    hosts = [h for h, _ in segs]
-    n_shards = len(hosts)
-    t_max = max(h.n_terms for h in hosts)
-    t_pad = round_up(t_max + max(t_max // 4, 64), 64)
+@partial(
+    jax.jit,
+    static_argnames=("x_rows", "t_pad", "d_pad", "kind", "mesh_"),
+)
+def _spmd_build_step(
+    rows,  # (n_shards, cap) i32 GLOBAL term rows, padding = t_pad
+    docs,  # (n_shards, cap) i32 local doc ids, padding = d_pad (OOB)
+    tfs,  # (n_shards, cap) i32, padding = 0
+    indptr_g,  # (n_shards, t_pad+1) i32
+    row_start_g,  # (n_shards, t_pad) i32
+    k_doc,  # (n_shards, d_pad) f32
+    inv_norm,  # (n_shards, d_pad) f32
+    alive,  # (n_shards, d_pad) bool
+    k1p1,  # f32 scalar
+    x_rows: int,
+    t_pad: int,
+    d_pad: int,
+    kind: str,
+    mesh_: Mesh,
+):
+    """ONE SPMD program for the whole sharded build: per shard, sort the
+    (row, doc, tf) triples, scatter the aligned (X, 128) doc/tf planes,
+    materialize the value plane, and count local df — then ONE
+    `jax.lax.psum` over the docs axis yields the corpus-global df on
+    every shard (SURVEY.md §3b's device-side all-reduce; tests pin it
+    equal to the host vocab-union merge)."""
+
+    def one(r, d, t, ip, rs, kd, iv, al):
+        r, d, t = r[0], d[0], t[0]
+        ip, rs, kd, iv, al = ip[0], rs[0], kd[0], iv[0], al[0]
+        r, d, t = jax.lax.sort((r, d, t), num_keys=2)
+        cap = r.shape[0]
+        i = jnp.arange(cap, dtype=jnp.int32)
+        nnz = ip[t_pad]  # true postings count (padding sorts last)
+        r_c = jnp.minimum(r, t_pad - 1)
+        pos = rs[r_c] + (i - ip[r_c])
+        total = x_rows * 128
+        pos = jnp.where(i < nnz, pos, total)  # OOB scatters are dropped
+        doc2 = jnp.full(total, d_pad - 1, jnp.int32).at[pos].set(d)
+        tf2 = jnp.zeros(total, jnp.int32).at[pos].set(t)
+        # local df: one count per (term, doc) posting; padding rows carry
+        # r == t_pad, out of bounds for (t_pad,) — dropped by the scatter
+        df_l = jnp.zeros(t_pad, jnp.int32).at[r].add(1)
+        df_g = jax.lax.psum(df_l, DOCS_AXIS)  # ICI all-reduce
+        doc2 = doc2.reshape(x_rows, 128)
+        tf2 = tf2.reshape(x_rows, 128)
+        val2 = _materialize_plane(doc2, tf2, kd, iv, al, k1p1, kind)
+        return doc2[None], tf2[None], val2[None], df_g[None]
+
+    sh = P(DOCS_AXIS)
+    return shard_map(
+        one,
+        mesh=mesh_,
+        in_specs=(sh,) * 8,
+        out_specs=(sh, sh, sh, sh),
+        check_vma=False,
+    )(rows, docs, tfs, indptr_g, row_start_g, k_doc, inv_norm, alive)
+
+
+def build_sharded_spmd(
+    texts, config: IndexConfig, mesh: Mesh
+) -> ShardedIndex:
+    """One-SPMD-job sharded build (module docstring): host analysis,
+    then ONE sharded device_put of the stacked triples and ONE jit
+    shard_map program for sort/pack/materialize/df-psum across every
+    shard — O(1) dispatches per corpus, not O(shards)."""
+    texts = list(texts)
+    n_shards = mesh.devices.size
+    n_docs = len(texts)
+    per = -(-n_docs // n_shards) if n_docs else 1
+    parts = []  # (doc_base, AnalyzedDocs)
+    for i in range(n_shards):
+        lo, hi = min(i * per, n_docs), min((i + 1) * per, n_docs)
+        parts.append((lo, builder.analyze_texts_fast(texts[lo:hi], config)))
+
+    # per-shard host metadata with LOCAL vocab (the checkpoint format;
+    # postings per term = df since (doc, term) pairs are unique)
+    hosts = []
+    for lo, a in parts:
+        vocab, _rows_l, df_l = builder.segment_vocab(a)
+        indptr_l = np.zeros(len(vocab) + 1, np.int32)
+        np.cumsum(df_l, out=indptr_l[1:])
+        row_start_l, _xr = builder.aligned_geometry(
+            indptr_l, config.nnz_pad_to
+        )
+        hosts.append(
+            builder.SegmentHost(
+                term_hash=vocab,
+                df=df_l,
+                doc_base=lo,
+                n_docs=a.n_docs,
+                dl=a.dl.copy(),
+                alive=np.ones(a.n_docs, dtype=bool),
+                doc_hashes=a.hashes,
+                doc_tfs=a.tfs,
+                doc_ptr=a.doc_ptr,
+                indptr=indptr_l,
+                row_start=row_start_l,
+                post_doc=None,  # device-built: planes live in HBM only
+                post_tf=None,
+            )
+        )
+    stats = merge_stats(hosts)
+    t_pad = _global_t_pad(stats)
     d_pad = round_up(max(h.n_docs for h in hosts) + 1, config.docs_pad_to)
-    x_rows = max(int(d.post_doc.shape[0]) for _, d in segs)
+    geoms = [
+        builder.aligned_geometry(h.indptr, config.nnz_pad_to)
+        for h in hosts
+    ]
+    x_rows = max(x for _, x in geoms)
     x_rows = x_rows + max(x_rows // 8, 8)
+    ipg, rsg = _global_tables(hosts, stats, t_pad)
 
-    def pad_planes(h, d):
-        xr = int(d.post_doc.shape[0])
-        pad = ((0, x_rows - xr), (0, 0))
-        pd = jnp.pad(d.post_doc, pad, constant_values=h.n_docs)
-        pt = jnp.pad(d.post_tf, pad)
-        return pd, pt
+    # stacked triples in the GLOBAL row space; padding sorts last and
+    # its scatters fall out of bounds (dropped)
+    cap = max(max(len(a.hashes) for _, a in parts), 1)
+    rows_st = np.full((n_shards, cap), t_pad, np.int32)
+    docs_st = np.full((n_shards, cap), d_pad, np.int32)
+    tfs_st = np.zeros((n_shards, cap), np.int32)
+    for i, (lo, a) in enumerate(parts):
+        nnz = len(a.hashes)
+        if nnz == 0:
+            continue
+        rows_st[i, :nnz] = np.searchsorted(stats.vocab, a.hashes)
+        docs_st[i, :nnz] = np.repeat(
+            np.arange(a.n_docs, dtype=np.int32),
+            np.diff(a.doc_ptr).astype(np.int64),
+        )
+        tfs_st[i, :nnz] = a.tfs
 
-    parts = [pad_planes(h, d) for h, d in segs]
+    kd = np.zeros((n_shards, d_pad), F32)
+    inv = np.zeros((n_shards, d_pad), F32)
+    al = np.zeros((n_shards, d_pad), bool)
+    for i, h in enumerate(hosts):
+        k_doc, inv_norm, alive = builder.refresh_inputs(h, config, stats)
+        kd[i, : h.n_docs] = k_doc
+        inv[i, : h.n_docs] = inv_norm
+        al[i, : h.n_docs] = alive
+
     shard0 = NamedSharding(mesh, P(DOCS_AXIS))
+    pd, pt, pv, df_g = _spmd_build_step(
+        jax.device_put(rows_st, shard0),
+        jax.device_put(docs_st, shard0),
+        jax.device_put(tfs_st, shard0),
+        jax.device_put(ipg, shard0),
+        jax.device_put(rsg, shard0),
+        jax.device_put(kd, shard0),
+        jax.device_put(inv, shard0),
+        jax.device_put(al, shard0),
+        jnp.float32(F32(config.scoring.k1 + 1.0)),
+        x_rows=x_rows,
+        t_pad=t_pad,
+        d_pad=d_pad,
+        kind=config.scoring.kind,
+        mesh_=mesh,
+    )
     idx = ShardedIndex(
-        post_doc=jax.device_put(jnp.stack([p[0] for p in parts]), shard0),
-        post_val=None,  # refreshed below (needs corpus-global stats)
-        post_tf=jax.device_put(jnp.stack([p[1] for p in parts]), shard0),
-        alive=None,
+        post_doc=pd,
+        post_val=pv,
+        post_tf=pt,
+        alive=jax.device_put(al, shard0),
         doc_base=jax.device_put(
             np.array(
                 [h.doc_base for h in hosts], np.int32
             ).reshape(n_shards, 1),
             shard0,
         ),
+        indptr_g=ipg,
+        indptr_d=jax.device_put(ipg, shard0),
+        row_start_d=jax.device_put(rsg, shard0),
         hosts=hosts,
-        stats=merge_stats(hosts),
+        stats=stats,
         n_shards=n_shards,
         d_pad=d_pad,
         t_pad=t_pad,
+        df_psum=np.asarray(df_g[0]),  # replicated over the axis
     )
-
-    refresh_sharded_vals(idx, config, mesh)
     return idx
 
 
 def refresh_sharded_vals(idx: ShardedIndex, config: IndexConfig, mesh: Mesh):
     """Device-side val re-materialization for every shard after
     df/N/avgdl change: ships only (n_shards, d_pad) k_doc/inv_norm/alive
-    — O(docs) H2D, the O(nnz) planes stay resident."""
+    — O(docs) H2D, the O(nnz) planes stay resident. Rebuilds the
+    global-row lookup tables only when the global vocabulary changed."""
+    old_vocab = idx.stats.vocab
     idx.stats = merge_stats(idx.hosts)
+    if not np.array_equal(idx.stats.vocab, old_vocab):
+        assert len(idx.stats.vocab) <= idx.t_pad, (
+            "vocabulary outgrew t_pad — callers must reassemble instead"
+        )
+        shard0 = NamedSharding(mesh, P(DOCS_AXIS))
+        ipg, rsg = _global_tables(idx.hosts, idx.stats, idx.t_pad)
+        idx.indptr_g = ipg
+        idx.indptr_d = jax.device_put(ipg, shard0)
+        idx.row_start_d = jax.device_put(rsg, shard0)
     n_shards, d_pad = idx.n_shards, idx.d_pad
     kd = np.zeros((n_shards, d_pad), F32)
     inv = np.zeros((n_shards, d_pad), F32)
@@ -270,11 +480,12 @@ def _sharded_batch_step(
     post_doc,  # (n_shards, X, 128) i32 aligned doc planes
     post_val,  # (n_shards, X, 128) i32 aligned bitcast-f32 val planes
     doc_base,  # (n_shards, 1) i32
-    srcrows,  # tuple of per-bucket (n_shards, bq, 1, NB) i32 plan tables
-    rems,  # tuple of per-bucket (n_shards, bq, 1, NB) i32
-    abits,  # tuple of per-bucket (n_shards, bq, 1, NB) i32
+    indptr_g,  # (n_shards, t_pad+1) i32 global-row tables, sharded
+    row_start_g,  # (n_shards, t_pad) i32, sharded
+    rows_cat,  # (B_total, S) i32 — REPLICATED (rows are global)
+    cbits_cat,  # (B_total, S) i32 bitcast-f32 coefficients, replicated
     k: int,
-    plan,  # static: (s, ((n_blocks, block), ...)) bucket layout
+    plan,  # static: (s, ((n_blocks, block, bq), ...)) bucket layout
     d_pad: int,
     scale: float,
     clip: float,
@@ -282,21 +493,28 @@ def _sharded_batch_step(
     interpret: bool,
     mesh_: Mesh,
 ):
-    """One SPMD dispatch for a whole query batch: every bucket's scorer
-    (fused Pallas kernel on TPU meshes, its bit-identical XLA twin
-    elsewhere) runs inside the same program per shard, candidates are
-    concatenated, and a single `all_gather` over ICI + replicated merge
-    produce the global top-k."""
-    from ..ops.fused_pallas import fused_search_pallas
+    """One SPMD dispatch for a whole query batch: per shard, the DMA
+    plan tables expand on device from the resident global-row tables,
+    every bucket's scorer (fused Pallas kernel on TPU meshes, its
+    bit-identical XLA twin elsewhere) runs inside the same program,
+    candidates are concatenated, and a single `all_gather` over ICI +
+    replicated merge produce the global top-k."""
+    from ..ops.fused_pallas import expand_plan_tables, fused_search_pallas
     from ..ops.packed import search_packed_tables
 
     s, buckets = plan
 
-    def local(pd, pv, base, srs, rms, abs_):
-        pd, pv = pd[0], pv[0]
+    def local(pd, pv, base, ipg, rsg, rows_cat, cbits_cat):
+        pd, pv, ipg, rsg = pd[0], pv[0], ipg[0], rsg[0]
         parts_v, parts_g = [], []
-        for bi, (n_blocks, block) in enumerate(buckets):
-            sr, rm, ab = srs[bi][0], rms[bi][0], abs_[bi][0]
+        off = 0
+        for n_blocks, block, bq in buckets:
+            rows_b = jax.lax.slice_in_dim(rows_cat, off, off + bq)
+            cbits_b = jax.lax.slice_in_dim(cbits_cat, off, off + bq)
+            off += bq
+            sr, rm, ab = expand_plan_tables(
+                rsg, ipg, rows_b, cbits_b, n_blocks, block
+            )
             # d_pad-1 is a safe uniform local sentinel: every shard's
             # real local ids are <= d_pad-2 (d_pad >= max local docs + 1)
             if mode == "fused" and k <= 128:
@@ -336,14 +554,15 @@ def _sharded_batch_step(
     vals_all, gids_all = shard_map(
         local,
         mesh=mesh_,
-        in_specs=(sh, sh, sh, sh, sh, sh),
+        in_specs=(sh, sh, sh, sh, sh, P(), P()),
         out_specs=(sh, sh),
         # pallas_call outputs carry no vma annotation, which the vma
         # check rejects; replication is still guaranteed by the
         # all-gather + identical merge (pinned by the shard-count
         # invariance tests)
         check_vma=False,
-    )(post_doc, post_val, doc_base, srcrows, rems, abits)
+    )(post_doc, post_val, doc_base, indptr_g, row_start_g, rows_cat,
+      cbits_cat)
     # (n_shards, nq, k) of identical replicas -> one copy.
     return vals_all[0], gids_all[0]
 
@@ -360,9 +579,8 @@ class DistributedSearchEngine:
         # None = auto ("fused" Pallas kernel on TPU meshes, "xla"
         # elsewhere); "xla_rank" = XLA pack + Pallas rank kernel
         self.scorer: str | None = None
-        # jit device-side per-shard CSR pack + materialization (the
-        # BASELINE.json:5 "index build is itself a jit-compiled batch
-        # job"); host build kept as the tested-equal fallback
+        # the ONE-SPMD-job build (build_sharded_spmd); host build kept
+        # as the tested-equal fallback
         self.device_build: bool = True
 
     def build(self, texts) -> None:
@@ -382,8 +600,8 @@ class DistributedSearchEngine:
         """Incremental add: new docs join the last shard (its global-id
         range stays contiguous); global stats and idf-dependent values
         refresh exactly (same semantics as SearchEngine.add_docs —
-        tested bit-identical). Rebalancing across shards is a compact-
-        style rebuild (`build`)."""
+        tested bit-identical). Rebalancing across shards is `compact`
+        (or a full `build`)."""
         texts = list(texts)
         if not texts:
             return []
@@ -407,7 +625,7 @@ class DistributedSearchEngine:
         # df must count alive docs only — the rebuilt shard counted all
         builder.recompute_alive_df(new_last)
         new_hosts = hosts[:-1] + [new_last]
-        if not self._update_last_shard(new_last):
+        if not self._update_last_shard(new_hosts):
             # grew past the fleet-uniform padded shapes: full reassemble
             self.index = assemble_sharded(new_hosts, self.config, self.mesh)
         else:
@@ -415,20 +633,24 @@ class DistributedSearchEngine:
             self._refresh_sharded_vals()
         return list(range(base0, base0 + a_new.n_docs))
 
-    def _update_last_shard(self, new_last) -> bool:
+    def _update_last_shard(self, new_hosts) -> bool:
         """O(shard) in-place device update for an add that fits the
-        existing padded shapes: ship ONE shard's new planes/indptr and
-        dynamic-update the stacked arrays; every other shard's postings
-        stay resident (their idf-dependent vals refresh separately).
-        Returns False when the shard outgrew the allocation."""
+        existing padded shapes: ship ONE shard's new planes and lookup
+        tables and dynamic-update the stacked arrays; every other
+        shard's postings stay resident (their idf-dependent vals refresh
+        separately; their global-row tables refresh only if the global
+        vocabulary gained terms). Returns False when the shard or the
+        vocabulary outgrew the allocation."""
         idx = self.index
+        new_last = new_hosts[-1]
         t_pad = idx.t_pad
         x_rows = idx.post_doc.shape[1]
         row_start, xr = builder.aligned_geometry(
             new_last.indptr, self.config.nnz_pad_to
         )
+        new_stats = merge_stats(new_hosts)
         if (
-            new_last.n_terms > t_pad
+            len(new_stats.vocab) > t_pad
             or xr > x_rows
             or new_last.n_docs + 1 > idx.d_pad
         ):
@@ -446,6 +668,15 @@ class DistributedSearchEngine:
         i = idx.n_shards - 1
         idx.post_doc = idx.post_doc.at[i].set(d2)
         idx.post_tf = idx.post_tf.at[i].set(t2)
+        if np.array_equal(new_stats.vocab, idx.stats.vocab):
+            # vocabulary unchanged: only the last shard's rows moved
+            ip_i, rs_i = _global_tables_one(new_last, new_stats, t_pad)
+            idx.indptr_g[i] = ip_i
+            idx.indptr_d = idx.indptr_d.at[i].set(ip_i)
+            idx.row_start_d = idx.row_start_d.at[i].set(rs_i)
+        # else: the vocab-change path is handled by refresh_sharded_vals
+        # (every shard's global row indices shift — O(vocab) tables, the
+        # O(nnz) planes stay resident)
         return True
 
     def _refresh_sharded_vals(self) -> None:
@@ -473,6 +704,32 @@ class DistributedSearchEngine:
         if changed:
             # O(delta): postings stay resident; only per-doc arrays ship
             self._refresh_sharded_vals()
+
+    def compact(self) -> None:
+        """Physically drop tombstoned docs' postings across every shard.
+        Global doc ids stay stable (dead ids keep empty slots and stay
+        dead — the SearchEngine.compact contract); results are identical
+        before and after (tested). Mechanism: per-shard host rebuild
+        from the alive docs' analyzed terms + one reassembly."""
+        if self.index is None:
+            return
+        new_hosts = []
+        for h in self.index.hosts:
+            lens = np.diff(h.doc_ptr).astype(np.int64)
+            keep_doc = h.alive
+            keep_post = np.repeat(keep_doc, lens)
+            ptr = np.zeros(h.n_docs + 1, np.int64)
+            np.cumsum(np.where(keep_doc, lens, 0), out=ptr[1:])
+            a = builder.AnalyzedDocs(
+                hashes=h.doc_hashes[keep_post],
+                tfs=h.doc_tfs[keep_post],
+                doc_ptr=ptr,
+                dl=np.where(keep_doc, h.dl, 0).astype(np.int32),
+            )
+            nh = builder.build_host_segment(a, h.doc_base)
+            nh.alive[:] = h.alive  # dead ids keep empty slots, stay dead
+            new_hosts.append(nh)
+        self.index = assemble_sharded(new_hosts, self.config, self.mesh)
 
     def save(self, path: str) -> None:
         from ..index.checkpoint import save_sharded
@@ -535,72 +792,62 @@ class DistributedSearchEngine:
             yield inflight.popleft()()
 
     def _dispatch(self, queries, k: int):
-        """Host planning + ONE fused SPMD dispatch for a query batch:
-        per-bucket DMA plan tables staged per shard (one sharded
-        device_put each), all buckets + the all-gather merge in one XLA
-        program."""
-        from ..ops.fused_pallas import plan_tables
+        """Host planning + ONE fused SPMD dispatch for a query batch.
+
+        Rows are global, so the host does ONE vocab lookup and ships ONE
+        replicated (B_total, S) rows/coeff-bits pair; per-shard DMA plan
+        tables expand on device inside the SPMD program. Block budgets
+        are scorer-tuned families, max-over-shards per bucket (uniform
+        SPMD shapes)."""
+        from ..engine.engine import slice_active_slots
 
         idx = self.index
         nq = len(queries)
         slot_h, coeff = self.frontend.analyze(queries, idx.stats)
-        from ..engine.engine import slice_active_slots
-
         slot_h, coeff = slice_active_slots(slot_h, coeff)
-        n_shards = idx.n_shards
         s = slot_h.shape[1]
-        rows = np.zeros((n_shards, nq, s), np.int32)
-        coeffs = np.zeros((n_shards, nq, s), F32)
-        # per-query block budget = max over shards (uniform SPMD shapes)
-        block = 512
-        nblk_q = np.zeros(nq, np.int64)
-        for i, h in enumerate(idx.hosts):
-            r, found = segment_rows(h.term_hash, slot_h)
-            rows[i] = r
-            coeffs[i] = np.where(found, coeff, F32(0.0))
-            nblk_q = np.maximum(
-                nblk_q, blocks_per_query(h.indptr, r, found, block)
-            )
+        rows, found = segment_rows(idx.stats.vocab, slot_h)
+        a_all = np.where(found, coeff, F32(0.0)).astype(F32)
+        # per-shard per-slot lengths from the host global tables
+        lens_sh = (
+            idx.indptr_g[:, rows + 1] - idx.indptr_g[:, rows]
+        ) * found[None]
+        mode = self.scorer_mode
+        families = (
+            FUSED_FAMILIES if mode == "fused" else DEFAULT_FAMILIES
+        )
         sc = self.config.scoring
         scale = float(F32(2.0**sc.scale_bits))
         clip = float(
             F32(int(spec.quant_clip_max(self.config.max_query_terms)))
         )
-        shard0 = NamedSharding(self.mesh, P(DOCS_AXIS))
-        buckets = []
-        srcrows, rems, abits = [], [], []
-        idxs = []
-        for idx_q, n_blocks in bucket_queries(nblk_q):
+        buckets, idxs, r_subs, a_subs = [], [], [], []
+        for idx_q, n_blocks, block in plan_batch_sharded(
+            lens_sh, families=families
+        ):
             bq = 1 << int(np.ceil(np.log2(max(len(idx_q), 1))))
-            sr = np.zeros((n_shards, bq, 1, n_blocks), np.int32)
-            rm = np.zeros((n_shards, bq, 1, n_blocks), np.int32)
-            ab = np.zeros((n_shards, bq, 1, n_blocks), np.int32)
-            for i, h in enumerate(idx.hosts):
-                r_sub = np.zeros((bq, s), np.int32)
-                a_sub = np.zeros((bq, s), F32)
-                r_sub[: len(idx_q)] = rows[i, idx_q]
-                a_sub[: len(idx_q)] = coeffs[i, idx_q]
-                sr[i], rm[i], ab[i] = plan_tables(
-                    h.row_start, h.indptr, r_sub, a_sub, n_blocks, block
-                )
-            srcrows.append(jax.device_put(sr, shard0))
-            rems.append(jax.device_put(rm, shard0))
-            abits.append(jax.device_put(ab, shard0))
-            buckets.append((n_blocks, block))
+            r_sub = np.zeros((bq, s), np.int32)
+            a_sub = np.zeros((bq, s), F32)
+            r_sub[: len(idx_q)] = rows[idx_q]
+            a_sub[: len(idx_q)] = a_all[idx_q]
+            r_subs.append(r_sub)
+            a_subs.append(a_sub)
+            buckets.append((n_blocks, block, bq))
             idxs.append(idx_q)
         vals, gids = _sharded_batch_step(
             idx.post_doc,
             idx.post_val,
             idx.doc_base,
-            tuple(srcrows),
-            tuple(rems),
-            tuple(abits),
+            idx.indptr_d,
+            idx.row_start_d,
+            jnp.asarray(np.concatenate(r_subs, axis=0)),
+            jnp.asarray(np.concatenate(a_subs, axis=0).view(np.int32)),
             k=k,
             plan=(s, tuple(buckets)),
             d_pad=idx.d_pad,
             scale=scale,
             clip=clip,
-            mode=self.scorer_mode,
+            mode=mode,
             # a forced Pallas mode on a non-TPU mesh runs in interpreter
             # mode (correct, slow) instead of failing to compile — this
             # is also how the 8-virtual-device CPU mesh tests execute

@@ -229,6 +229,71 @@ def test_sharded_device_build_matches_host(corpus, tmp_path):
     np.testing.assert_array_equal(rs, ds)
 
 
+def test_spmd_build_df_psum_matches_host_merge(corpus):
+    """The one-SPMD-job build computes corpus-global df with
+    jax.lax.psum over the docs axis (SURVEY.md §3b); it must equal the
+    host vocab-union merge exactly."""
+    docs, queries = corpus
+    cfg = IndexConfig(scoring=ScoringConfig(kind="bm25"))
+    dist = DistributedSearchEngine(cfg, mesh=make_mesh(4))
+    dist.build(docs)  # device_build default -> build_sharded_spmd
+    idx = dist.index
+    assert idx.df_psum is not None
+    tg = len(idx.stats.vocab)
+    np.testing.assert_array_equal(idx.df_psum[:tg], idx.stats.df)
+    assert (idx.df_psum[tg:] == 0).all()  # vocab padding rows count 0
+
+
+def test_spmd_build_is_one_job(corpus, monkeypatch):
+    """The sharded device build must not fall back to per-shard jit
+    build jobs (round-2 VERDICT: build_sharded packed shards
+    sequentially in a host loop)."""
+    import document_search_engine_tpu.index.builder as builder_mod
+
+    docs, _ = corpus
+
+    def boom(*a, **kw):
+        raise AssertionError("per-shard build_segment_device called")
+
+    monkeypatch.setattr(builder_mod, "build_segment_device", boom)
+    dist = DistributedSearchEngine(mesh=make_mesh(4))
+    dist.build(docs)
+    assert dist.index.df_psum is not None
+
+
+@pytest.mark.parametrize("kind", ["tfidf", "bm25"])
+def test_sharded_compact_drops_tombstones(corpus, kind):
+    """DistributedSearchEngine.compact (round-2 VERDICT #5): postings of
+    tombstoned docs are physically dropped on every shard, global ids
+    stay stable, results bit-identical before/after."""
+    docs, queries = corpus
+    cfg = IndexConfig(scoring=ScoringConfig(kind=kind))
+    dist = DistributedSearchEngine(cfg, mesh=make_mesh(4))
+    dist.build(docs)
+    dead = [0, 17, 44, 70, 89]
+    dist.delete_docs(dead)
+    ref_ids, ref_sc = dist.search(queries, k=10)
+    nnz_before = sum(int(h.indptr[-1]) for h in dist.index.hosts)
+    dist.compact()
+    nnz_after = sum(int(h.indptr[-1]) for h in dist.index.hosts)
+    assert nnz_after < nnz_before  # tombstoned postings actually gone
+    ids, sc = dist.search(queries, k=10)
+    np.testing.assert_array_equal(ids, ref_ids)
+    np.testing.assert_array_equal(sc, ref_sc)
+    assert not set(ids.ravel().tolist()) & set(dead)
+    # compacted index keeps working through further updates
+    dist.add_docs(docs[:3])
+    single = SearchEngine(cfg)
+    single.build(docs)
+    single.delete_docs(dead)
+    single.compact()
+    single.add_docs(docs[:3])
+    r_ids, r_sc = single.search(queries, k=10)
+    d_ids, d_sc = dist.search(queries, k=10)
+    np.testing.assert_array_equal(d_ids, r_ids)
+    np.testing.assert_array_equal(d_sc, r_sc)
+
+
 def test_sharded_checkpoint_empty_engine(tmp_path):
     """Regression: saving a never-built engine and reloading on any mesh
     must round-trip to an empty engine, not crash in resharding."""
