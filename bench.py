@@ -210,7 +210,11 @@ def build_synth_engine(n_docs, vocab, avg_terms, cfg, seed=1):
 
 def main():
     n_docs = int(os.environ.get("BENCH_DOCS", 1_000_000))
-    nq = int(os.environ.get("BENCH_NQ", 4096))
+    # 8192 is the measured sweet spot on the dev tunnel: the ~35 ms
+    # serialized dispatch floor amortizes while serving stays within ~2%
+    # of the device step (65.2k qps vs 52.2k at 4096; 16384 adds 2x
+    # latency for <1% more)
+    nq = int(os.environ.get("BENCH_NQ", 8192))
     k = int(os.environ.get("BENCH_K", 10))
     iters = int(os.environ.get("BENCH_ITERS", 24))
     kind = os.environ.get("BENCH_KIND", "bm25")
@@ -275,6 +279,17 @@ def main():
     )
     if scorer:
         eng.scorer = scorer
+    fam_env = os.environ.get("BENCH_FAMILIES", "")
+    if fam_env:  # e.g. "1024" (uniform) or "8192:256,1024" (mixed)
+        fams = []
+        for part in fam_env.split(","):
+            if ":" in part:
+                thr, blk = part.split(":")
+                fams.append((int(thr), int(blk)))
+            else:
+                fams.append((None, int(part)))
+        eng.block_families = tuple(fams)
+        log(f"block families override: {eng.block_families}")
 
     # ---- fresh raw-TEXT query batches ----------------------------------
     rng = np.random.default_rng(7)

@@ -17,6 +17,22 @@ import sys
 import time
 
 
+def _open_index(index_dir: str):
+    """Open a checkpoint with the right engine for its kind (the meta
+    records whether it is a sharded index)."""
+    import json as _json
+
+    from .engine.engine import SearchEngine
+
+    with open(f"{index_dir}/meta.json") as f:
+        meta = _json.load(f)
+    if meta.get("sharded"):
+        from .parallel.dist import DistributedSearchEngine
+
+        return DistributedSearchEngine.load(index_dir)
+    return SearchEngine.load(index_dir)
+
+
 def cmd_index(args):
     from .config import IndexConfig, ScoringConfig
     from .corpus.loader import load_dir
@@ -28,18 +44,25 @@ def cmd_index(args):
         return 1
     names = [n for n, _ in docs]
     cfg = IndexConfig(scoring=ScoringConfig(kind=args.kind))
-    eng = SearchEngine(cfg)
+    if args.shards:
+        from .parallel.dist import DistributedSearchEngine
+        from .parallel.mesh import make_mesh
+
+        eng = DistributedSearchEngine(cfg, mesh=make_mesh(args.shards))
+    else:
+        eng = SearchEngine(cfg)
     t0 = time.perf_counter()
     eng.build([t for _, t in docs])
     dt = time.perf_counter() - t0
     eng.save(args.out)
     with open(f"{args.out}/docnames.json", "w") as f:
         json.dump(names, f)
+    stats = eng.index.stats if args.shards else eng.stats
     print(
         json.dumps(
             {
                 "docs": len(docs),
-                "terms": int(len(eng.stats.vocab)),
+                "terms": int(len(stats.vocab)),
                 "build_secs": round(dt, 2),
                 "docs_per_sec": round(len(docs) / dt, 1),
                 "out": args.out,
@@ -50,9 +73,11 @@ def cmd_index(args):
 
 
 def cmd_search(args):
-    from .engine.engine import SearchEngine
-
-    eng = SearchEngine.load(args.index_dir)
+    eng = _open_index(args.index_dir)
+    if getattr(args, "rerank", False) and not hasattr(eng, "search_rerank"):
+        print("--rerank is only supported on single-process indexes",
+              file=sys.stderr)
+        return 1
     try:
         with open(f"{args.index_dir}/docnames.json") as f:
             names = json.load(f)
@@ -89,9 +114,7 @@ def cmd_serve(args):
     """Pipelined stdin serving loop: one query per line, batched into
     `--batch`-sized groups, dispatched through the depth-pipelined
     search_stream; one JSON result line per query on stdout."""
-    from .engine.engine import SearchEngine
-
-    eng = SearchEngine.load(args.index_dir)
+    eng = _open_index(args.index_dir)
 
     def batches():
         buf = []
@@ -172,6 +195,13 @@ def main(argv=None):
     pi.add_argument("corpus_dir")
     pi.add_argument("--out", required=True)
     pi.add_argument("--kind", default="bm25", choices=["tfidf", "bm25"])
+    pi.add_argument(
+        "--shards",
+        type=int,
+        default=0,
+        help="build a document-sharded index over an N-device mesh "
+        "(0 = single-process; search/serve auto-detect the kind)",
+    )
     pi.set_defaults(fn=cmd_index)
 
     ps = sub.add_parser("search", help="query a saved index")

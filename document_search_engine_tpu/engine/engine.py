@@ -175,6 +175,9 @@ class SearchEngine:
         # automatically when either bound is crossed; None disables.
         self.auto_compact_segments: int | None = 16
         self.auto_compact_dead_frac: float | None = 0.5
+        # None = scorer-tuned block families (ops/schedule.py); override
+        # with ((threshold, block), ..., (None, block)) to A/B schedules
+        self.block_families = None
 
     # ------------------------------------------------------------- build
     def build(self, texts) -> None:
@@ -497,7 +500,9 @@ class SearchEngine:
         )
         # block families are scorer-tuned: the fused kernel wants fewer,
         # larger DMAs (ops/schedule.py FUSED_FAMILIES rationale)
-        families = FUSED_FAMILIES if mode == "fused" else DEFAULT_FAMILIES
+        families = self.block_families or (
+            FUSED_FAMILIES if mode == "fused" else DEFAULT_FAMILIES
+        )
         plan = []  # static: per segment (n_docs, s, ((nb, blk, bq), ...))
         idx_map = []  # per segment: list of original-query index arrays
         r_subs, a_subs = [], []

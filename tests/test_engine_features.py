@@ -116,6 +116,28 @@ def test_cli_end_to_end(tmp_path, capsys):
     assert len(lines) == 2 and lines[0]["hits"] and lines[1]["hits"]
 
 
+def test_cli_sharded_index(tmp_path, capsys):
+    """CLI builds and queries a document-sharded index (--shards);
+    search/serve auto-detect the checkpoint kind."""
+    from document_search_engine_tpu.cli import main
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "one.txt").write_text("apples and oranges are fruit")
+    (d / "two.txt").write_text("cars and trucks are vehicles")
+    (d / "three.txt").write_text("apples grow on trees")
+    idx = str(tmp_path / "idx_sharded")
+    assert main(["index", str(d), "--out", idx, "--shards", "2"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["docs"] == 3
+    assert main(["search", idx, "apples", "-k", "2"]) == 0
+    out = capsys.readouterr().out
+    assert "one.txt" in out or "three.txt" in out
+    assert "two.txt" not in out
+    # rerank is single-process only: clean error, not a crash
+    assert main(["search", idx, "apples", "-k", "2", "--rerank"]) == 1
+
+
 def test_build_streaming_equals_bulk():
     from document_search_engine_tpu.corpus.loader import stream_batches
     from document_search_engine_tpu.oracle import OracleEngine
