@@ -74,10 +74,6 @@ def cmd_index(args):
 
 def cmd_search(args):
     eng = _open_index(args.index_dir)
-    if getattr(args, "rerank", False) and not hasattr(eng, "search_rerank"):
-        print("--rerank is only supported on single-process indexes",
-              file=sys.stderr)
-        return 1
     try:
         with open(f"{args.index_dir}/docnames.json") as f:
             names = json.load(f)
@@ -188,6 +184,18 @@ def cmd_bench(args):
 
 
 def main(argv=None):
+    # Honor an explicit JAX_PLATFORMS from the environment: some site
+    # configs (e.g. the axon PJRT plugin) override it during `import jax`,
+    # which would silently ignore the user's `JAX_PLATFORMS=cpu ... index
+    # --shards 8`. Re-applying via jax.config restores the requested
+    # platform before any device is touched.
+    import os
+
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     p = argparse.ArgumentParser(prog="document_search_engine_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 

@@ -14,7 +14,7 @@ import numpy as np
 from ..analyze.hashing import TermHasher
 from ..analyze.tokenizer import Tokenizer
 from ..config import IndexConfig
-from ..index.csr import GlobalStats
+from ..index.csr import GlobalStats, lookup_sorted
 from ..oracle import spec
 
 F32 = np.float32
@@ -77,26 +77,36 @@ class QueryFrontend:
             return out_h, out_a
 
         ok = lens <= s  # slot-overflow queries take the per-query path
-        slot_idx = analyzed.doc_ptr[:-1, None] + np.arange(s)[None, :]
-        mask = (np.arange(s)[None, :] < lens[:, None]) & ok[:, None]
+        # operate on the batch's ACTIVE column range only: every array
+        # below is (nq, lmax) instead of (nq, S). Bit-exact — the spec's
+        # sequential norms are invariant to trailing zero slots
+        # (acc + 0*0 == acc in f32), and empty slots carry coeff 0.
+        lmax = int(max(min(int(lens[ok].max()) if ok.any() else 1, s), 1))
+        slot_idx = analyzed.doc_ptr[:-1, None] + np.arange(lmax)[None, :]
+        mask = (np.arange(lmax)[None, :] < lens[:, None]) & ok[:, None]
         slot_idx = np.clip(slot_idx, 0, len(analyzed.hashes) - 1)
-        out_h = np.where(mask, analyzed.hashes[slot_idx], np.uint64(0))
+        h_act = np.where(mask, analyzed.hashes[slot_idx], np.uint64(0))
         qtf = np.where(mask, analyzed.tfs[slot_idx], 0).astype(np.int32)
 
         kind = self.config.scoring.kind
-        dfs = stats.df_of(out_h.reshape(-1)).reshape(nq, s)
-        dfs = np.where(mask, dfs, 0)
+        # df lookup on the REAL slots only (most of the batch is empty
+        # padding; at large vocabularies the lookup is the analysis
+        # bottleneck — 4x fewer needles at the default slot width)
+        dfs = np.zeros((nq, lmax), np.int32)
+        dfs[mask] = stats.df_of(h_act[mask])
         idf = spec.idf_of(kind, stats.n_alive, dfs)
         qtff = qtf.astype(F32)
         if kind == "tfidf":
             qw = (qtff * idf).astype(F32)
             qnorm = np.sqrt(spec.seq_sumsq(qw, axis=1)).astype(F32)
             qnorm_safe = np.where(qnorm == F32(0.0), F32(1.0), qnorm)
-            out_a = ((qw / qnorm_safe[:, None]) * idf).astype(F32)
-            out_a = np.where(qnorm[:, None] == F32(0.0), F32(0.0), out_a)
+            a_act = ((qw / qnorm_safe[:, None]) * idf).astype(F32)
+            a_act = np.where(qnorm[:, None] == F32(0.0), F32(0.0), a_act)
         else:
-            out_a = (qtff * idf).astype(F32)
-        out_a = np.where(idf == F32(0.0), F32(0.0), out_a).astype(F32)
+            a_act = (qtff * idf).astype(F32)
+        a_act = np.where(idf == F32(0.0), F32(0.0), a_act).astype(F32)
+        out_h[:, :lmax] = h_act
+        out_a[:, :lmax] = a_act
 
         for i in np.nonzero(~ok)[0]:
             out_h[i] = 0
@@ -115,7 +125,7 @@ def segment_rows(term_hash: np.ndarray, slot_hashes: np.ndarray):
     if len(term_hash) == 0:
         z = np.zeros(slot_hashes.shape, dtype=np.int32)
         return z, np.zeros(slot_hashes.shape, dtype=bool)
-    idx = np.searchsorted(term_hash, slot_hashes)
+    idx = lookup_sorted(term_hash, slot_hashes)
     idx_c = np.minimum(idx, len(term_hash) - 1)
     found = term_hash[idx_c] == slot_hashes
     return np.where(found, idx_c, 0).astype(np.int32), found

@@ -30,6 +30,7 @@ from .csr import (
     GlobalStats,
     SegmentDevice,
     SegmentHost,
+    lookup_sorted,
     round_up,
 )
 
@@ -381,7 +382,7 @@ def doc_inv_norms(
     n = analyzed.n_docs
     out = np.zeros(n, dtype=F32)
     idf_g = spec.idf_of(kind, stats.n_alive, stats.df)
-    rows_g = np.searchsorted(stats.vocab, analyzed.hashes)
+    rows_g = lookup_sorted(stats.vocab, analyzed.hashes)
     w_all = spec.doc_weights_tfidf(analyzed.tfs, idf_g[rows_g])
     ptr = analyzed.doc_ptr
     for c0 in range(0, n, chunk):
@@ -484,7 +485,7 @@ def recompute_alive_df(host: SegmentHost) -> None:
         np.diff(host.doc_ptr).astype(np.int64),
     )
     mask = host.alive[doc_of]
-    rows = np.searchsorted(host.term_hash, host.doc_hashes[mask])
+    rows = lookup_sorted(host.term_hash, host.doc_hashes[mask])
     host.df = np.bincount(
         rows, minlength=host.n_terms
     ).astype(np.int32)

@@ -26,6 +26,24 @@ def round_up(x: int, m: int) -> int:
 NNZ_SLICE_MARGIN = 4096
 
 
+def lookup_sorted(haystack: np.ndarray, values: np.ndarray) -> np.ndarray:
+    """np.searchsorted(haystack, values), but the needles are visited in
+    sorted order — identical results, ~4x faster on large CACHE-COLD
+    vocabularies (adjacent needles share binary-search leaf cache lines;
+    duplicate needles — e.g. the empty-slot hash 0 — become free). Below
+    the crossover the haystack is cache-resident and the needle argsort
+    only adds overhead (measured: a 200k-term vocab lookup is ~2 ms
+    plain but ~10 ms sorted; a 1.6M-term one is ~25 ms plain, ~8 ms
+    sorted), so small lookups short-circuit."""
+    flat = np.ascontiguousarray(values).reshape(-1)
+    if len(haystack) < 500_000 or len(flat) < 4096:
+        return np.searchsorted(haystack, values)
+    order = np.argsort(flat, kind="stable")
+    idx = np.empty(flat.shape[0], np.int64)
+    idx[order] = np.searchsorted(haystack, flat[order])
+    return idx.reshape(values.shape)
+
+
 @dataclass
 class SegmentHost:
     """Host-resident segment metadata."""
@@ -111,7 +129,7 @@ class GlobalStats:
 
     def df_of(self, hashes: np.ndarray) -> np.ndarray:
         """df per query hash; 0 for unknown terms."""
-        idx = np.searchsorted(self.vocab, hashes)
+        idx = lookup_sorted(self.vocab, hashes)
         idx_c = np.minimum(idx, max(len(self.vocab) - 1, 0))
         if len(self.vocab) == 0:
             return np.zeros(len(hashes), dtype=np.int32)

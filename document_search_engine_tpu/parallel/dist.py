@@ -40,7 +40,7 @@ from jax import shard_map
 from ..config import IndexConfig
 from ..engine.query import QueryFrontend, segment_rows
 from ..index import builder
-from ..index.csr import GlobalStats, merge_stats, round_up
+from ..index.csr import GlobalStats, lookup_sorted, merge_stats, round_up
 from ..ops.schedule import (
     DEFAULT_FAMILIES,
     FUSED_FAMILIES,
@@ -323,7 +323,33 @@ def build_sharded_spmd(
     for i in range(n_shards):
         lo, hi = min(i * per, n_docs), min((i + 1) * per, n_docs)
         parts.append((lo, builder.analyze_texts_fast(texts[lo:hi], config)))
+    return _build_sharded_from_parts(parts, config, mesh)
 
+
+def _split_analyzed(a, n_shards: int):
+    """Re-split one AnalyzedDocs into contiguous per-shard parts."""
+    n_docs = a.n_docs
+    per = -(-n_docs // n_shards) if n_docs else 1
+    parts = []
+    for i in range(n_shards):
+        lo, hi = min(i * per, n_docs), min((i + 1) * per, n_docs)
+        s, e = int(a.doc_ptr[lo]), int(a.doc_ptr[hi])
+        parts.append(
+            (
+                lo,
+                builder.AnalyzedDocs(
+                    hashes=a.hashes[s:e],
+                    tfs=a.tfs[s:e],
+                    doc_ptr=a.doc_ptr[lo : hi + 1] - a.doc_ptr[lo],
+                    dl=a.dl[lo:hi],
+                ),
+            )
+        )
+    return parts
+
+
+def _build_sharded_from_parts(parts, config: IndexConfig, mesh: Mesh):
+    n_shards = mesh.devices.size
     # per-shard host metadata with LOCAL vocab (the checkpoint format;
     # postings per term = df since (doc, term) pairs are unique)
     hosts = []
@@ -372,7 +398,7 @@ def build_sharded_spmd(
         nnz = len(a.hashes)
         if nnz == 0:
             continue
-        rows_st[i, :nnz] = np.searchsorted(stats.vocab, a.hashes)
+        rows_st[i, :nnz] = lookup_sorted(stats.vocab, a.hashes)
         docs_st[i, :nnz] = np.repeat(
             np.arange(a.n_docs, dtype=np.int32),
             np.diff(a.doc_ptr).astype(np.int64),
@@ -567,6 +593,52 @@ def _sharded_batch_step(
     return vals_all[0], gids_all[0]
 
 
+@partial(jax.jit, static_argnames=("mesh_", "interpret"))
+def _sharded_gather_dots(
+    emb,  # (n_shards, d_pad, dim) i8, sharded over docs
+    ssq,  # (n_shards, d_pad) i32, sharded
+    doc_base,  # (n_shards, 1) i32, sharded
+    n_docs_sh,  # (n_shards, 1) i32, sharded — true docs per shard
+    qemb,  # (nq, dim) i8, replicated
+    gids,  # (nq, K) i32 candidate global ids (-1 = dead), replicated
+    mesh_: Mesh,
+    interpret: bool,
+):
+    """SPMD candidate rerank dots: each shard gathers + MXU-dots only
+    the candidates whose global id falls in its doc range (others
+    contribute exact zeros), then ONE integer psum over the docs axis
+    assembles the full (nq, K) dots and candidate squared norms — the
+    payload over ICI is the tiny dots matrix, never the embeddings.
+    All values are exact integers (ops/rerank.py exactness scheme)."""
+    from ..ops.rerank import rerank_dots_pallas
+
+    def local(e, sq, base, nd, q, g):
+        e, sq, base, nd = e[0], sq[0], base[0, 0], nd[0, 0]
+        loc = g - base
+        mine = (g >= 0) & (loc >= 0) & (loc < nd)
+        safe = jnp.where(mine, loc, 0)
+        cand = jnp.where(
+            mine[..., None], e[safe].astype(jnp.int8), jnp.int8(0)
+        )
+        dots = rerank_dots_pallas(q, cand, interpret=interpret)
+        dots = jnp.where(mine, dots, 0)
+        cs = jnp.where(mine, sq[safe], 0)
+        return (
+            jax.lax.psum(dots, DOCS_AXIS)[None],
+            jax.lax.psum(cs, DOCS_AXIS)[None],
+        )
+
+    sh = P(DOCS_AXIS)
+    dots_all, ssq_all = shard_map(
+        local,
+        mesh=mesh_,
+        in_specs=(sh, sh, sh, sh, P(), P()),
+        out_specs=(sh, sh),
+        check_vma=False,
+    )(emb, ssq, doc_base, n_docs_sh, qemb, gids)
+    return dots_all[0], ssq_all[0]
+
+
 class DistributedSearchEngine:
     """Multi-chip search engine over a `docs` mesh (same results as the
     single-process SearchEngine, bit-for-bit — tested)."""
@@ -586,6 +658,37 @@ class DistributedSearchEngine:
     def build(self, texts) -> None:
         self.index = build_sharded(
             texts, self.config, self.mesh, device_build=self.device_build
+        )
+
+    def build_streaming(self, batches) -> None:
+        """Streaming sharded build (BASELINE.json:10): raw text is
+        analyzed and released batch-by-batch (bounded text memory; the
+        analyzed (hash, tf) arrays are ~10x smaller), then the docs are
+        balanced into contiguous shard ranges and packed by the ONE
+        SPMD build job. Bit-identical to bulk build (tested)."""
+        analyzed = []
+        for b in batches:
+            b = list(b)
+            if b:
+                analyzed.append(builder.analyze_texts_fast(b, self.config))
+        if not analyzed:
+            self.index = None
+            return
+        ptr_parts = [np.zeros(1, np.int64)]
+        acc = 0
+        for a in analyzed:
+            ptr_parts.append(a.doc_ptr[1:] + acc)
+            acc += int(a.doc_ptr[-1])
+        merged = builder.AnalyzedDocs(
+            hashes=np.concatenate([a.hashes for a in analyzed]),
+            tfs=np.concatenate([a.tfs for a in analyzed]),
+            doc_ptr=np.concatenate(ptr_parts),
+            dl=np.concatenate([a.dl for a in analyzed]),
+        )
+        self.index = _build_sharded_from_parts(
+            _split_analyzed(merged, self.mesh.devices.size),
+            self.config,
+            self.mesh,
         )
 
     @property
@@ -730,6 +833,96 @@ class DistributedSearchEngine:
             nh.alive[:] = h.alive  # dead ids keep empty slots, stay dead
             new_hosts.append(nh)
         self.index = assemble_sharded(new_hosts, self.config, self.mesh)
+
+    # ----------------------------------------------------- hybrid rerank
+    def _sharded_embeddings(self, dim: int):
+        """Per-shard device int8 feature-hash embeddings, stacked
+        (n_shards, d_pad, dim) over the docs axis — each shard's rows
+        are built from its resident posting planes (ops/rerank.py
+        device builder; local vocab projection — cols/signs derive from
+        term hashes, so rows are bit-identical to the single engine's).
+        Cached until the next stats refresh."""
+        from ..ops.rerank import device_doc_embeddings_int, term_projection
+
+        idx = self.index
+        cache = getattr(self, "_emb_cache", None)
+        key = (dim, id(idx.post_val))  # refresh replaces post_val
+        if cache is not None and cache[0] == key:
+            return cache[1]
+        d_pad = idx.d_pad
+        embs, ssqs = [], []
+        for i, h in enumerate(idx.hosts):
+            if h.n_terms == 0 or h.n_docs == 0:
+                embs.append(jnp.zeros((d_pad, dim), jnp.int8))
+                ssqs.append(jnp.zeros((d_pad,), jnp.int32))
+                continue
+            col, sign = term_projection(h.term_hash, dim)
+            e, ss = device_doc_embeddings_int(
+                idx.post_doc[i],
+                idx.post_val[i],
+                jnp.asarray(h.row_start.astype(np.int32)),
+                jnp.asarray(col),
+                jnp.asarray(sign),
+                n_docs=h.n_docs,
+                dim=dim,
+            )
+            pad = d_pad - h.n_docs
+            embs.append(jnp.pad(e, ((0, pad), (0, 0))))
+            ssqs.append(jnp.pad(ss, (0, pad)))
+        shard0 = NamedSharding(self.mesh, P(DOCS_AXIS))
+        out = (
+            jax.device_put(jnp.stack(embs), shard0),
+            jax.device_put(jnp.stack(ssqs), shard0),
+        )
+        self._emb_cache = (key, out)
+        return out
+
+    def search_rerank(
+        self,
+        queries,
+        k: int = 10,
+        dim: int = 256,
+        candidates: int = 64,
+        interpret: bool | None = None,
+    ):
+        """Sharded hybrid retrieval (BASELINE.json:11), bit-identical to
+        SearchEngine.search_rerank (tested): lexical candidate gen, then
+        ONE SPMD dispatch in which each shard dots the candidates it
+        owns against its resident int8 embeddings and a psum over the
+        docs axis assembles the exact integer dots; the f64 cosine +
+        quantized ordering runs on host from those exact integers."""
+        from ..ops.rerank import query_embeddings_int, rerank_order_int
+
+        if interpret is None:
+            interpret = self.mesh.devices.flat[0].platform != "tpu"
+        kk = max(k, candidates)
+        gids, lex = self.search(queries, k=kk)
+        if self.index is None or self.n_docs_total == 0:
+            ri = np.full((len(queries), k), -1, np.int64)
+            return gids[:, :k], ri, lex[:, :k]
+        idx = self.index
+        slot_h, coeff = self.frontend.analyze(queries, idx.stats)
+        qemb, ssq_q = query_embeddings_int(slot_h, coeff, dim)
+        emb, ssq = self._sharded_embeddings(dim)
+        n_docs_sh = np.array(
+            [h.n_docs for h in idx.hosts], np.int32
+        ).reshape(idx.n_shards, 1)
+        dots, cand_ssq = _sharded_gather_dots(
+            emb,
+            ssq,
+            idx.doc_base,
+            jax.device_put(
+                np.asarray(n_docs_sh),
+                NamedSharding(self.mesh, P(DOCS_AXIS)),
+            ),
+            jnp.asarray(qemb),
+            jnp.asarray(gids.astype(np.int32)),
+            mesh_=self.mesh,
+            interpret=interpret,
+        )
+        return rerank_order_int(
+            np.asarray(dots), ssq_q, np.asarray(cand_ssq), lex, gids, k
+        )
 
     def save(self, path: str) -> None:
         from ..index.checkpoint import save_sharded

@@ -134,8 +134,9 @@ def test_cli_sharded_index(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "one.txt" in out or "three.txt" in out
     assert "two.txt" not in out
-    # rerank is single-process only: clean error, not a crash
-    assert main(["search", idx, "apples", "-k", "2", "--rerank"]) == 1
+    # hybrid rerank works on sharded indexes too (SPMD dots + psum)
+    assert main(["search", idx, "apples", "-k", "2", "--rerank"]) == 0
+    assert "rerank=" in capsys.readouterr().out
 
 
 def test_build_streaming_equals_bulk():

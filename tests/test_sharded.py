@@ -294,6 +294,47 @@ def test_sharded_compact_drops_tombstones(corpus, kind):
     np.testing.assert_array_equal(d_sc, r_sc)
 
 
+def test_sharded_build_streaming_equals_bulk(corpus):
+    """Streaming sharded build == bulk sharded build, bit for bit."""
+    from document_search_engine_tpu.corpus.loader import stream_batches
+
+    docs, queries = corpus
+    cfg = IndexConfig(scoring=ScoringConfig(kind="bm25"))
+    bulk = DistributedSearchEngine(cfg, mesh=make_mesh(4))
+    bulk.build(docs)
+    stream = DistributedSearchEngine(cfg, mesh=make_mesh(4))
+    stream.build_streaming(stream_batches(docs, batch_size=16))
+    b_ids, b_sc = bulk.search(queries, k=10)
+    s_ids, s_sc = stream.search(queries, k=10)
+    np.testing.assert_array_equal(s_ids, b_ids)
+    np.testing.assert_array_equal(s_sc, b_sc)
+
+
+@pytest.mark.parametrize("n_shards", [1, 4])
+def test_sharded_rerank_matches_single(corpus, n_shards):
+    """DistributedSearchEngine.search_rerank: candidates dotted by their
+    owning shard, integer psum over the docs axis — results must be
+    bit-identical to the single engine's rerank (exact-integer scheme)."""
+    docs, queries = corpus
+    cfg = IndexConfig(scoring=ScoringConfig(kind="bm25"))
+    single = SearchEngine(cfg)
+    single.build(docs)
+    s_ids, s_ri, s_lex = single.search_rerank(queries, k=8, candidates=24)
+    dist = DistributedSearchEngine(cfg, mesh=make_mesh(n_shards))
+    dist.build(docs)
+    d_ids, d_ri, d_lex = dist.search_rerank(queries, k=8, candidates=24)
+    np.testing.assert_array_equal(d_ids, s_ids)
+    np.testing.assert_array_equal(d_ri, s_ri)
+    np.testing.assert_array_equal(d_lex, s_lex)
+    # still exact after an incremental update (embeddings re-derive)
+    single.delete_docs([4, 61])
+    dist.delete_docs([4, 61])
+    s_ids, s_ri, s_lex = single.search_rerank(queries, k=8, candidates=24)
+    d_ids, d_ri, d_lex = dist.search_rerank(queries, k=8, candidates=24)
+    np.testing.assert_array_equal(d_ids, s_ids)
+    np.testing.assert_array_equal(d_ri, s_ri)
+
+
 def test_sharded_checkpoint_empty_engine(tmp_path):
     """Regression: saving a never-built engine and reloading on any mesh
     must round-trip to an empty engine, not crash in resharding."""

@@ -182,3 +182,9 @@ def test_sharded_step_on_tpu():
     di, ds = dist.search(queries, k=10)
     np.testing.assert_array_equal(di, si)
     np.testing.assert_array_equal(ds, ss)
+    # SPMD rerank (per-shard MXU dots + integer psum) on the real chip
+    s_ids, s_ri, s_lex = single.search_rerank(queries, k=8, candidates=24)
+    d_ids, d_ri, d_lex = dist.search_rerank(queries, k=8, candidates=24)
+    np.testing.assert_array_equal(d_ids, s_ids)
+    np.testing.assert_array_equal(d_ri, s_ri)
+    np.testing.assert_array_equal(d_lex, s_lex)
