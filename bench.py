@@ -279,6 +279,10 @@ def main():
     )
     if scorer:
         eng.scorer = scorer
+    mb_env = os.environ.get("BENCH_MIN_BLOCKS", "")
+    if mb_env:
+        eng.plan_min_blocks = int(mb_env)
+        log(f"plan_min_blocks override: {eng.plan_min_blocks}")
     fam_env = os.environ.get("BENCH_FAMILIES", "")
     if fam_env:  # e.g. "1024" (uniform) or "8192:256,1024" (mixed)
         fams = []

@@ -75,11 +75,11 @@ def _batch_step(
     out_v, out_g = [], []
     off = 0
     for si, (n_docs, s, buckets) in enumerate(plan):
-        for n_blocks, block, bq in buckets:
+        for n_blocks, block, bq, r_c in buckets:
             rows_b = jax.lax.slice_in_dim(rows_cat, off, off + bq)
             cbits_b = jax.lax.slice_in_dim(cbits_cat, off, off + bq)
             off += bq
-            sr, rm, ab = expand_plan_tables(
+            sr, rm, ab, dst = expand_plan_tables(
                 row_starts[si], indptrs[si], rows_b, cbits_b,
                 n_blocks, block,
             )
@@ -92,6 +92,7 @@ def _batch_step(
                     sr,
                     rm,
                     ab,
+                    dst,
                     n_blocks=n_blocks,
                     block=block,
                     s=s,
@@ -99,6 +100,7 @@ def _batch_step(
                     n_docs=n_docs,
                     scale=scale,
                     clip=clip,
+                    r_c=r_c,
                     interpret=interpret,
                 )
                 g = jnp.where(v > 0, dloc + doc_bases[si], -1)
@@ -178,6 +180,10 @@ class SearchEngine:
         # None = scorer-tuned block families (ops/schedule.py); override
         # with ((threshold, block), ..., (None, block)) to A/B schedules
         self.block_families = None
+        # smallest per-bucket n_blocks budget (pow-2). Lower = tighter
+        # programs for light queries (a 1-block bucket runs no merge
+        # network at all), higher = fewer jit variants.
+        self.plan_min_blocks = 4
 
     # ------------------------------------------------------------- build
     def build(self, texts) -> None:
@@ -503,7 +509,7 @@ class SearchEngine:
         families = self.block_families or (
             FUSED_FAMILIES if mode == "fused" else DEFAULT_FAMILIES
         )
-        plan = []  # static: per segment (n_docs, s, ((nb, blk, bq), ...))
+        plan = []  # static: per seg (n_docs, s, ((nb, blk, bq, rc), ...))
         idx_map = []  # per segment: list of original-query index arrays
         r_subs, a_subs = [], []
         for host, device in self.segments:
@@ -511,8 +517,12 @@ class SearchEngine:
             a_seg = np.where(found, coeff, F32(0.0)).astype(F32)
             buckets = []
             idxs = []
-            for idx, n_blocks, block in plan_batch(
-                host.indptr, rows, found, families=families
+            for idx, n_blocks, block, r_c in plan_batch(
+                host.indptr, rows, found, families=families,
+                min_blocks=self.plan_min_blocks,
+                # compacted candidate buffers only pay off for the
+                # fused kernel (the XLA twin's shapes are table-bound)
+                compact=(mode == "fused" and k <= 128),
             ):
                 bq = _pow2_at_least(len(idx))
                 r_sub = np.zeros((bq, s), np.int32)
@@ -521,7 +531,7 @@ class SearchEngine:
                 a_sub[: len(idx)] = a_seg[idx]
                 r_subs.append(r_sub)
                 a_subs.append(a_sub)
-                buckets.append((n_blocks, block, bq))
+                buckets.append((n_blocks, block, bq, r_c))
                 idxs.append(idx)
             plan.append((host.n_docs, s, tuple(buckets)))
             idx_map.append(idxs)

@@ -39,6 +39,25 @@ from .rank_pallas import LANES, merge_rank_body
 
 DEPTH = 4  # DMA block pairs in flight per program
 
+# Candidate-buffer compaction granularity, in 128-lane rows. DMA blocks
+# stay large (few big HBM reads), but each block's REAL postings are
+# stored at a per-query cumulative row offset (the dstrow plan table),
+# so the merge/run-sum/top-k pipeline — whose cost scales with buffer
+# rows, and which the stage-isolation probe measured at ~85% of kernel
+# time — runs over ~ceil(real postings / 128) rows instead of
+# n_blocks * block / 128. Typical Zipf queries (8 slots of a few hundred
+# postings in 2048-blocks) shrink ~4x.
+GRANULE_ROWS = 1
+
+
+def _compact_rows(rem, block: int):
+    """Per-block compacted row count from a rem table: real postings in
+    the block, granule-rounded up (numpy or jnp)."""
+    np_ = np if isinstance(rem, np.ndarray) else jnp
+    valid = np_.clip(rem, 0, block)
+    g = GRANULE_ROWS * LANES
+    return (-(-valid // g)).astype(np.int32) * GRANULE_ROWS
+
 
 def plan_tables(
     row_start: np.ndarray,  # (T,) aligned flat record offsets per row
@@ -48,10 +67,12 @@ def plan_tables(
     n_blocks: int,
     block: int,
 ):
-    """Host-side per-(query, block) DMA plan: (srcrow, rem, abits), each
-    (nq, 1, n_blocks) int32 — source row offset in the (X, 128) planes
-    (-1 = skip), postings remaining at block start (masks the tail), and
-    the slot coefficient bits. Pure vectorized numpy."""
+    """Host-side per-(query, block) DMA plan: (srcrow, rem, abits,
+    dstrow), each (nq, 1, n_blocks) int32 — source row offset in the
+    (X, 128) planes (-1 = skip), postings remaining at block start
+    (masks the tail), the slot coefficient bits, and the compacted
+    candidate-buffer destination row (exclusive running sum of each
+    block's granule-rounded real rows). Pure vectorized numpy."""
     from ..index.csr import NNZ_SLICE_MARGIN
 
     # tail blocks read up to block-128 records past a row's aligned end;
@@ -64,7 +85,10 @@ def plan_tables(
     b128 = block // LANES
     if len(indptr) < 2:  # empty segment/shard: every block skipped
         z = np.zeros((nq, 1, n_blocks), np.int32)
-        return np.full((nq, 1, n_blocks), -1, np.int32), z, z.copy()
+        return (
+            np.full((nq, 1, n_blocks), -1, np.int32), z, z.copy(),
+            z.copy(),
+        )
     lens = (indptr[rows + 1] - indptr[rows]).astype(np.int64)
     lens = np.where(coeff > 0, lens, 0)
     nblk = -(-lens // block)
@@ -89,10 +113,14 @@ def plan_tables(
             in_t, lens[:, t : t + 1] - off_b * block, rem
         ).astype(np.int32)
         abits = np.where(in_t, cbits[:, t : t + 1], abits)
+    crows = _compact_rows(rem, block)
+    dstrow = np.zeros((nq, n_blocks), np.int32)
+    np.cumsum(crows[:, :-1], axis=1, out=dstrow[:, 1:])
     return (
         srcrow.reshape(nq, 1, n_blocks),
         rem.reshape(nq, 1, n_blocks),
         abits.reshape(nq, 1, n_blocks),
+        dstrow.reshape(nq, 1, n_blocks),
     )
 
 
@@ -105,11 +133,11 @@ def expand_plan_tables(
     block: int,
 ):
     """Device-side twin of plan_tables: expands (nq, S) rows/coeff-bits
-    into the (nq, 1, NB) srcrow/rem/abits DMA plan tables under jit —
-    pure elementwise int32 XLA over (nq, NB), bit-identical to the host
-    planner (fuzz-tested). This is the serving-path fix for the round-2
-    VERDICT's host-planning tax: per batch the host ships only the
-    (nq, S) rows and coefficient bits (~NB/S x less H2D than the three
+    into the (nq, 1, NB) srcrow/rem/abits/dstrow DMA plan tables under
+    jit — pure elementwise int32 XLA over (nq, NB), bit-identical to the
+    host planner (fuzz-tested). This is the serving-path fix for the
+    round-2 VERDICT's host-planning tax: per batch the host ships only
+    the (nq, S) rows and coefficient bits (~NB/S x less H2D than the
     expanded tables) and the expansion rides the same dispatch as the
     kernels it feeds."""
     from ..index.csr import NNZ_SLICE_MARGIN
@@ -122,7 +150,7 @@ def expand_plan_tables(
     b128 = block // LANES
     if int(row_start.shape[0]) == 0:  # empty segment: every block skipped
         z = jnp.zeros((nq, 1, n_blocks), jnp.int32)
-        return jnp.full((nq, 1, n_blocks), -1, jnp.int32), z, z
+        return jnp.full((nq, 1, n_blocks), -1, jnp.int32), z, z, z
     coeff = jax.lax.bitcast_convert_type(cbits, jnp.float32)
     lens = indptr[rows + 1] - indptr[rows]
     lens = jnp.where(coeff > 0, lens, 0)
@@ -143,10 +171,13 @@ def expand_plan_tables(
         srcrow = jnp.where(in_t, starts128[:, t : t + 1] + off_b * b128, srcrow)
         rem = jnp.where(in_t, lens[:, t : t + 1] - off_b * block, rem)
         abits = jnp.where(in_t, cbits[:, t : t + 1], abits)
+    crows = _compact_rows(rem, block)
+    dstrow = jnp.cumsum(crows, axis=1) - crows  # exclusive
     return (
         srcrow.reshape(nq, 1, n_blocks),
         rem.reshape(nq, 1, n_blocks),
         abits.reshape(nq, 1, n_blocks),
+        dstrow.reshape(nq, 1, n_blocks),
     )
 
 
@@ -154,14 +185,15 @@ def _fused_kernel(
     srcrow_ref,  # (1, 1, NB) SMEM
     rem_ref,  # (1, 1, NB) SMEM
     abits_ref,  # (1, 1, NB) SMEM
+    dstrow_ref,  # (1, 1, NB) SMEM — compacted destination rows
     doc_hbm,  # (X, 128) ANY
     val_hbm,  # (X, 128) ANY
     vals_ref,  # (1, 1, LANES) VMEM out
     docs_ref,  # (1, 1, LANES) VMEM out
     dbuf,  # (DEPTH, b128, 128) VMEM scratch
     vbuf,
-    dacc,  # (R, 128) VMEM scratch — assembled doc keys
-    ciacc,  # (R, 128) VMEM scratch — assembled contributions
+    dacc,  # (R_C + b128, 128) VMEM scratch — compacted doc keys
+    ciacc,  # (R_C + b128, 128) VMEM scratch — compacted contributions
     sems,  # (2, DEPTH) DMA semaphores
     *,
     n_blocks: int,
@@ -171,8 +203,14 @@ def _fused_kernel(
     n_docs: int,
     scale: float,
     clip: float,
+    r_c: int,
 ):
     b128 = block // LANES
+    # sentinel-fill once: compacted stores cover only real granule rows
+    # (plus each store's static-width tail, overwritten by the next
+    # store or left at its masked sentinel value)
+    dacc[:] = jnp.full((r_c + b128, LANES), n_docs, jnp.int32)
+    ciacc[:] = jnp.zeros((r_c + b128, LANES), jnp.int32)
 
     def get_dma(j, slot):
         src = srcrow_ref[0, 0, j]
@@ -218,23 +256,27 @@ def _fused_kernel(
             ci_f = jnp.round((a * vch) * scale)
             ci = jnp.clip(ci_f, 0.0, clip).astype(jnp.int32)
             valid = flat < rem_ref[0, 0, j]
-            dacc[pl.ds(j * b128, b128), :] = jnp.where(valid, dch, n_docs)
-            ciacc[pl.ds(j * b128, b128), :] = jnp.where(valid, ci, 0)
+            # compacted store: this block's real granule rows land at
+            # the running dstrow offset; the static b128-row store width
+            # overhangs into rows the NEXT block overwrites (or, for the
+            # last block, into masked sentinels within the b128 slack)
+            dst = dstrow_ref[0, 0, j]
+            dacc[pl.ds(dst, b128), :] = jnp.where(valid, dch, n_docs)
+            ciacc[pl.ds(dst, b128), :] = jnp.where(valid, ci, 0)
 
-        @pl.when(srcrow_ref[0, 0, j] < 0)
-        def _():
-            dacc[pl.ds(j * b128, b128), :] = jnp.full(
-                (b128, LANES), n_docs, jnp.int32
-            )
-            ciacc[pl.ds(j * b128, b128), :] = jnp.zeros(
-                (b128, LANES), jnp.int32
-            )
+        # skipped blocks (srcrow < 0) occupy zero compacted rows; the
+        # sentinel prefill already covers them
 
         nxt = j + DEPTH
         if nxt < n_blocks:
             start(nxt)
     vals, docs = merge_rank_body(
-        dacc[:], ciacc[:], block=block, s=s, k=k, n_docs=n_docs
+        dacc[pl.ds(0, r_c)],
+        ciacc[pl.ds(0, r_c)],
+        block=GRANULE_ROWS * LANES,
+        s=s,
+        k=k,
+        n_docs=n_docs,
     )
     vals_ref[0] = vals
     docs_ref[0] = docs
@@ -250,6 +292,7 @@ def _fused_kernel(
         "n_docs",
         "scale",
         "clip",
+        "r_c",
         "interpret",
     ),
 )
@@ -259,6 +302,7 @@ def fused_search_pallas(
     srcrow: jnp.ndarray,  # (nq, 1, NB) i32 from plan_tables
     rem: jnp.ndarray,  # (nq, 1, NB) i32
     abits: jnp.ndarray,  # (nq, 1, NB) i32
+    dstrow: jnp.ndarray,  # (nq, 1, NB) i32 compacted destination rows
     n_blocks: int,
     block: int,
     s: int,
@@ -266,17 +310,26 @@ def fused_search_pallas(
     n_docs: int,
     scale: float,  # static: f32(2^scale_bits) as a Python float
     clip: float,  # static: f32(quant_clip_max) as a Python float
+    r_c: int | None = None,  # compacted buffer rows (pow2); None = full
     interpret: bool = False,
 ):
     """(vals, docs_local) (nq, k) int32, ranked (score desc, doc asc);
     exhausted slots are (-1, -1). Bit-identical to search_packed_ds on
-    the same plan (tested)."""
+    the same plan (tested). r_c bounds the compacted candidate buffer:
+    every query in the call must satisfy sum of granule-rounded real
+    rows <= r_c (the bucketed planner guarantees it); smaller r_c means
+    proportionally less merge/run-sum/top-k work."""
     from ..index.csr import NNZ_SLICE_MARGIN
 
     nq = srcrow.shape[0]
     b128 = block // LANES
-    r_dim = n_blocks * b128
+    if r_c is None:
+        r_c = n_blocks * b128
     assert k <= LANES
+    assert r_c >= 1 and (r_c & (r_c - 1)) == 0, (
+        f"r_c={r_c} must be a power of two (bitonic merge width)"
+    )
+    assert r_c % GRANULE_ROWS == 0
     assert block <= NNZ_SLICE_MARGIN, (
         f"block={block} exceeds the builder's slice margin "
         f"({NNZ_SLICE_MARGIN}); tail DMAs would read out of bounds"
@@ -290,6 +343,7 @@ def fused_search_pallas(
         n_docs=n_docs,
         scale=scale,
         clip=clip,
+        r_c=r_c,
     )
     smem = partial(
         pl.BlockSpec, (1, 1, n_blocks), lambda q: (q, 0, 0),
@@ -299,6 +353,7 @@ def fused_search_pallas(
         kernel,
         grid=(nq,),
         in_specs=[
+            smem(),
             smem(),
             smem(),
             smem(),
@@ -316,8 +371,8 @@ def fused_search_pallas(
         scratch_shapes=[
             pltpu.VMEM((DEPTH, b128, LANES), jnp.int32),
             pltpu.VMEM((DEPTH, b128, LANES), jnp.int32),
-            pltpu.VMEM((r_dim, LANES), jnp.int32),
-            pltpu.VMEM((r_dim, LANES), jnp.int32),
+            pltpu.VMEM((r_c + b128, LANES), jnp.int32),
+            pltpu.VMEM((r_c + b128, LANES), jnp.int32),
             pltpu.SemaphoreType.DMA((2, DEPTH)),
         ],
         out_shape=(
@@ -326,7 +381,7 @@ def fused_search_pallas(
         ),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(srcrow, rem, abits, post_doc, post_val)
+    )(srcrow, rem, abits, dstrow, post_doc, post_val)
     return vals[:, 0, :k], docs[:, 0, :k]
 
 
@@ -351,7 +406,7 @@ def fused_search(
     the bit-identical XLA twin over the same plan tables (the kernel
     stores top-k in one lane vector) — a k=200 caller gets 200 real
     hits, not 128 real + 72 fake exhausted slots (ADVICE.md round 2)."""
-    srcrow, rem, abits = plan_tables(
+    srcrow, rem, abits, dstrow = plan_tables(
         row_start, indptr, rows, coeff, n_blocks, block
     )
     if k > LANES:
@@ -372,12 +427,17 @@ def fused_search(
             k=k,
             n_docs=n_docs,
         )
+    # tightest pow-2 compacted buffer this batch needs
+    crows = _compact_rows(rem[:, 0, :], block)
+    need = max(int(crows.sum(axis=1).max()), 1)
+    r_c = 1 << int(np.ceil(np.log2(need)))
     vals, docs = fused_search_pallas(
         post_doc,
         post_val,
         jnp.asarray(srcrow),
         jnp.asarray(rem),
         jnp.asarray(abits),
+        jnp.asarray(dstrow),
         n_blocks=n_blocks,
         block=block,
         s=rows.shape[1],
@@ -385,6 +445,7 @@ def fused_search(
         n_docs=n_docs,
         scale=scale,
         clip=clip,
+        r_c=r_c,
         interpret=interpret,
     )
     gids = jnp.where(vals > 0, docs + doc_base, -1)

@@ -53,23 +53,63 @@ DEFAULT_FAMILIES = ((8192, 256), (None, 1024))
 FUSED_FAMILIES = ((None, 2048),)
 
 
+def compact_rows_per_query(lens: np.ndarray, block: int) -> np.ndarray:
+    """(..., ) compacted candidate-buffer rows per query (summed over the
+    slot axis, the last one): per slot, full blocks contribute block/128
+    rows each and the tail block its granule-rounded real rows — exactly
+    the space the fused kernel's dstrow compaction uses."""
+    from .fused_pallas import GRANULE_ROWS
+
+    g = GRANULE_ROWS * 128
+    full = lens // block
+    tail = lens - full * block
+    rows = full * (block // 128) + np.where(
+        tail > 0, (-(-tail // g)) * GRANULE_ROWS, 0
+    )
+    return rows.sum(axis=-1)
+
+
+def bucket_rows(rc: np.ndarray, cap: int, min_rows: int = 8):
+    """Group query indices by pow-2 compacted-buffer budget in
+    [min_rows, cap]. Returns [(indices, r_c)]."""
+    r = np.clip(rc, 1, cap)
+    exp = np.ceil(np.log2(np.maximum(r, 1))).astype(np.int64)
+    exp = np.clip(
+        exp, int(np.log2(min_rows)), int(np.log2(cap))
+    )
+    out = []
+    for e in np.unique(exp):
+        idx = np.nonzero(exp == e)[0]
+        out.append((idx, 1 << int(e)))
+    return out
+
+
 def plan_batch(
     indptr: np.ndarray,
     rows: np.ndarray,
     found: np.ndarray,
     families=DEFAULT_FAMILIES,
+    min_blocks: int = 4,
+    compact: bool = False,
 ):
     """Mixed-block schedule: light queries use fine blocks (less per-slot
     ceil padding — the dominant population under Zipf), heavy queries use
     coarse blocks (fewer slices). Families are (total-postings threshold,
     block size), last threshold None = rest.
 
-    Returns [(query_indices, n_blocks, block_size)] covering every query
-    exactly once.
+    Returns [(query_indices, n_blocks, block_size, r_c)] covering every
+    query exactly once. r_c is the bucket's compacted candidate-buffer
+    rows: with compact=True (the fused Pallas scorer) queries are
+    sub-bucketed by their real granule-rounded postings need, which the
+    kernel's merge/run-sum/top-k cost scales with; otherwise r_c is the
+    uncompacted n_blocks * block / 128.
     """
     nq = rows.shape[0]
     if len(indptr) < 2 or rows.size == 0:
-        return [(np.arange(nq), 1, families[0][1])] if nq else []
+        blk0 = families[0][1]
+        return (
+            [(np.arange(nq), 1, blk0, blk0 // 128)] if nq else []
+        )
     lens = (indptr[rows + 1] - indptr[rows]) * found
     totals = lens.sum(axis=1)
     plans = []
@@ -84,19 +124,32 @@ def plan_batch(
         if not len(idx_f):
             continue
         nblk = (-(-lens[idx_f] // blk)).sum(axis=1)
-        for sub, nb in bucket_queries(nblk):
-            plans.append((idx_f[sub], nb, blk))
+        rcq = compact_rows_per_query(lens[idx_f], blk) if compact else None
+        for sub, nb in bucket_queries(nblk, min_blocks=min_blocks):
+            cap = nb * blk // 128
+            if not compact:
+                plans.append((idx_f[sub], nb, blk, cap))
+                continue
+            for sub2, rc in bucket_rows(rcq[sub], cap=cap):
+                plans.append((idx_f[sub][sub2], nb, blk, rc))
     return plans
 
 
-def plan_batch_sharded(lens_sh: np.ndarray, families=DEFAULT_FAMILIES):
+def plan_batch_sharded(
+    lens_sh: np.ndarray,
+    families=DEFAULT_FAMILIES,
+    min_blocks: int = 4,
+    compact: bool = False,
+):
     """Mixed-block schedule for the sharded engine: same family logic as
     plan_batch, but budgets are max-over-shards (SPMD programs need
     uniform shapes across the mesh). lens_sh is (n_shards, nq, S)
     per-slot postings lengths (0 where missing).
 
-    Returns [(query_indices, n_blocks, block_size)] covering every query
-    exactly once; n_blocks = max over shards of that bucket's need.
+    Returns [(query_indices, n_blocks, block_size, r_c)] covering every
+    query exactly once; n_blocks and r_c are max over shards of that
+    bucket's need (every shard compacts into its own dstrow layout, but
+    the SPMD program's buffer bound must be fleet-uniform).
     """
     n_shards, nq, s = lens_sh.shape
     totals = lens_sh.sum(axis=2).max(axis=0)  # (nq,)
@@ -112,8 +165,18 @@ def plan_batch_sharded(lens_sh: np.ndarray, families=DEFAULT_FAMILIES):
         if not len(idx_f):
             continue
         nblk = (-(-lens_sh[:, idx_f] // blk)).sum(axis=2).max(axis=0)
-        for sub, nb in bucket_queries(nblk):
-            plans.append((idx_f[sub], nb, blk))
+        rcq = (
+            compact_rows_per_query(lens_sh[:, idx_f], blk).max(axis=0)
+            if compact
+            else None
+        )
+        for sub, nb in bucket_queries(nblk, min_blocks=min_blocks):
+            cap = nb * blk // 128
+            if not compact:
+                plans.append((idx_f[sub], nb, blk, cap))
+                continue
+            for sub2, rc in bucket_rows(rcq[sub], cap=cap):
+                plans.append((idx_f[sub][sub2], nb, blk, rc))
     return plans
 
 

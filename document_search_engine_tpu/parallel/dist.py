@@ -534,21 +534,21 @@ def _sharded_batch_step(
         pd, pv, ipg, rsg = pd[0], pv[0], ipg[0], rsg[0]
         parts_v, parts_g = [], []
         off = 0
-        for n_blocks, block, bq in buckets:
+        for n_blocks, block, bq, r_c in buckets:
             rows_b = jax.lax.slice_in_dim(rows_cat, off, off + bq)
             cbits_b = jax.lax.slice_in_dim(cbits_cat, off, off + bq)
             off += bq
-            sr, rm, ab = expand_plan_tables(
+            sr, rm, ab, dst = expand_plan_tables(
                 rsg, ipg, rows_b, cbits_b, n_blocks, block
             )
             # d_pad-1 is a safe uniform local sentinel: every shard's
             # real local ids are <= d_pad-2 (d_pad >= max local docs + 1)
             if mode == "fused" and k <= 128:
                 v, dloc = fused_search_pallas(
-                    pd, pv, sr, rm, ab,
+                    pd, pv, sr, rm, ab, dst,
                     n_blocks=n_blocks, block=block, s=s, k=k,
                     n_docs=d_pad - 1, scale=scale, clip=clip,
-                    interpret=interpret,
+                    r_c=r_c, interpret=interpret,
                 )
                 g = jnp.where(v > 0, dloc + base[0, 0], -1)
             else:
@@ -1015,8 +1015,10 @@ class DistributedSearchEngine:
             F32(int(spec.quant_clip_max(self.config.max_query_terms)))
         )
         buckets, idxs, r_subs, a_subs = [], [], [], []
-        for idx_q, n_blocks, block in plan_batch_sharded(
-            lens_sh, families=families
+        for idx_q, n_blocks, block, r_c in plan_batch_sharded(
+            lens_sh, families=families,
+            min_blocks=getattr(self, "plan_min_blocks", 4),
+            compact=(mode == "fused" and k <= 128),
         ):
             bq = 1 << int(np.ceil(np.log2(max(len(idx_q), 1))))
             r_sub = np.zeros((bq, s), np.int32)
@@ -1025,7 +1027,7 @@ class DistributedSearchEngine:
             a_sub[: len(idx_q)] = a_all[idx_q]
             r_subs.append(r_sub)
             a_subs.append(a_sub)
-            buckets.append((n_blocks, block, bq))
+            buckets.append((n_blocks, block, bq, r_c))
             idxs.append(idx_q)
         vals, gids = _sharded_batch_step(
             idx.post_doc,

@@ -70,6 +70,50 @@ def test_fused_kernel_matches_xla_paths():
         )
 
 
+def test_fused_compaction_fuzz():
+    """Compacted candidate buffers (dstrow plan + r_c bound): queries
+    with wildly different real-postings needs share one bucket, so
+    per-query compaction offsets differ and the r_c buffer bound is
+    exercised at its tightest. Must equal the gather-path reference."""
+    for seed in (7, 8, 9):
+        rng = np.random.default_rng(seed)
+        n_terms, n_docs = 30, 5000
+        indptr, post_doc, post_val, nnz = _csr(rng, n_terms, n_docs, 3000)
+        d2, v2, row_start = make_aligned(indptr, post_doc, post_val, n_docs)
+        nq, s, blocksize = 6, 4, 1024
+        rows = rng.integers(0, n_terms, (nq, s)).astype(np.int32)
+        coeff = rng.random((nq, s)).astype(np.float32) * 1.5
+        # heavy missing-slot mix: some queries nearly empty
+        coeff[rng.random((nq, s)) < 0.4] = 0.0
+        coeff[0] = 0.0  # fully empty query in the bucket
+        scale = float(np.float32(2.0**16))
+        clip = float(np.float32(65075262.0))
+        found = coeff > 0
+        nb = block_plan(indptr, rows, found, block=blocksize)
+        c = total_cap(indptr, rows, found)
+        pd = np.concatenate(
+            [post_doc, np.full(blocksize, n_docs, np.int32)]
+        )
+        pv = np.concatenate([post_val, np.zeros(blocksize, np.float32)])
+        ref = search_packed(
+            jnp.asarray(indptr), jnp.asarray(pd), jnp.asarray(pv),
+            jnp.asarray(rows), jnp.asarray(coeff),
+            jnp.float32(scale), jnp.float32(clip), jnp.int32(0),
+            c_total=c, k=10, n_docs=n_docs,
+        )
+        got = fused_search(
+            jnp.asarray(d2), jnp.asarray(v2), row_start, indptr,
+            rows, coeff, doc_base=0, n_blocks=nb, block=blocksize,
+            k=10, n_docs=n_docs, scale=scale, clip=clip, interpret=True,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got[0]), np.asarray(ref[0]), f"vals seed={seed}"
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got[1]), np.asarray(ref[1]), f"gids seed={seed}"
+        )
+
+
 def test_fused_kernel_empty_and_missing_slots():
     rng = np.random.default_rng(43)
     n_terms, n_docs = 8, 300
@@ -91,7 +135,9 @@ def test_fused_kernel_empty_and_missing_slots():
     assert (vals[1:] == -1).all() and (gids[1:] == -1).all()
     assert (vals[0] > 0).any()
     # plan-table twin agrees
-    sr, rm, ab = plan_tables(row_start, indptr, rows, coeff, nb, blocksize)
+    sr, rm, ab, _dst = plan_tables(
+        row_start, indptr, rows, coeff, nb, blocksize
+    )
     tv, tg = search_packed_tables(
         jnp.asarray(d2), jnp.asarray(v2), jnp.asarray(sr),
         jnp.asarray(rm), jnp.asarray(ab), jnp.float32(scale),

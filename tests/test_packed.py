@@ -155,7 +155,7 @@ def test_packed_ds_and_tables_match_packed():
         )
         np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
         np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(ref[1]))
-        sr, rm, ab = plan_tables(
+        sr, rm, ab, _dst = plan_tables(
             row_start, indptr, rows, coeff, nb, blocksize
         )
         got_t = search_packed_tables(

@@ -59,19 +59,20 @@ def test_plan_tables_fuzz(seed):
         jnp.asarray(rows), jnp.asarray(coeff), scale, clip,
         jnp.int32(0), c_total=c, k=k, n_docs=n_docs,
     )
-    sr, rm, ab = plan_tables(row_start, indptr, rows, coeff, nb, block)
+    sr, rm, ab, dst = plan_tables(row_start, indptr, rows, coeff, nb, block)
     # device-side expansion must equal the host planner bit-for-bit
     from document_search_engine_tpu.ops.fused_pallas import (
         expand_plan_tables,
     )
 
-    sr_d, rm_d, ab_d = expand_plan_tables(
+    sr_d, rm_d, ab_d, dst_d = expand_plan_tables(
         jnp.asarray(row_start.astype(np.int32)), jnp.asarray(indptr),
         jnp.asarray(rows), jnp.asarray(coeff.view(np.int32)), nb, block,
     )
     np.testing.assert_array_equal(np.asarray(sr_d), sr, f"srcrow {seed}")
     np.testing.assert_array_equal(np.asarray(rm_d), rm, f"rem {seed}")
     np.testing.assert_array_equal(np.asarray(ab_d), ab, f"abits {seed}")
+    np.testing.assert_array_equal(np.asarray(dst_d), dst, f"dstrow {seed}")
     got = search_packed_tables(
         jnp.asarray(d2), jnp.asarray(v2), jnp.asarray(sr),
         jnp.asarray(rm), jnp.asarray(ab), scale, clip, jnp.int32(0),
