@@ -86,6 +86,8 @@ def _batch_step(
             # the kernel returns top-k in one lane vector (k <= 128);
             # larger k falls back to the bit-identical XLA twin
             if mode == "fused" and k <= 128:
+                from ..ops.fused_pallas import pick_stack
+
                 v, dloc = fused_search_pallas(
                     post_docs[si],
                     post_vals[si],
@@ -101,6 +103,7 @@ def _batch_step(
                     scale=scale,
                     clip=clip,
                     r_c=r_c,
+                    q_stack=pick_stack(bq, r_c),
                     interpret=interpret,
                 )
                 g = jnp.where(v > 0, dloc + doc_bases[si], -1)

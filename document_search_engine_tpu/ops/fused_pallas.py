@@ -50,6 +50,27 @@ DEPTH = 4  # DMA block pairs in flight per program
 GRANULE_ROWS = 1
 
 
+# Query-stacking policy: how many queries one program's region-parallel
+# rank pipeline serves. More stacking amortizes per-stage dependency
+# latency further but grows the VMEM candidate scratch (2 int32 planes
+# of q_stack * r_c rows) and the unrolled program size.
+MAX_STACK = 16
+STACK_ROWS_BUDGET = 2048  # max stacked scratch rows (2 x 1 MiB planes)
+
+
+def pick_stack(bq: int, r_c: int) -> int:
+    """Largest pow-2 q_stack that divides the bucket, respects MAX_STACK
+    and keeps the stacked candidate scratch under budget."""
+    q = 1
+    while (
+        q * 2 <= MAX_STACK
+        and bq % (q * 2) == 0
+        and q * 2 * r_c <= STACK_ROWS_BUDGET
+    ):
+        q *= 2
+    return q
+
+
 def _compact_rows(rem, block: int):
     """Per-block compacted row count from a rem table: real postings in
     the block, granule-rounded up (numpy or jnp)."""
@@ -182,18 +203,18 @@ def expand_plan_tables(
 
 
 def _fused_kernel(
-    srcrow_ref,  # (1, 1, NB) SMEM
-    rem_ref,  # (1, 1, NB) SMEM
-    abits_ref,  # (1, 1, NB) SMEM
-    dstrow_ref,  # (1, 1, NB) SMEM — compacted destination rows
+    srcrow_ref,  # (Q, 1, NB) SMEM
+    rem_ref,  # (Q, 1, NB) SMEM
+    abits_ref,  # (Q, 1, NB) SMEM
+    dstrow_ref,  # (Q, 1, NB) SMEM — compacted destination rows
     doc_hbm,  # (X, 128) ANY
     val_hbm,  # (X, 128) ANY
-    vals_ref,  # (1, 1, LANES) VMEM out
-    docs_ref,  # (1, 1, LANES) VMEM out
+    vals_ref,  # (Q, 1, LANES) VMEM out
+    docs_ref,  # (Q, 1, LANES) VMEM out
     dbuf,  # (DEPTH, b128, 128) VMEM scratch
     vbuf,
-    dacc,  # (R_C + b128, 128) VMEM scratch — compacted doc keys
-    ciacc,  # (R_C + b128, 128) VMEM scratch — compacted contributions
+    dacc,  # (Q * R_C + b128, 128) VMEM scratch — compacted doc keys
+    ciacc,  # (Q * R_C + b128, 128) VMEM scratch — contributions
     sems,  # (2, DEPTH) DMA semaphores
     *,
     n_blocks: int,
@@ -204,16 +225,22 @@ def _fused_kernel(
     scale: float,
     clip: float,
     r_c: int,
+    q_stack: int,
 ):
+    """One program serves q_stack queries: query q's compacted candidate
+    region is rows [q*r_c, (q+1)*r_c), and the whole rank pipeline runs
+    region-parallel over the stacked buffer (merge_rank_body q_regions)
+    so the per-stage dependency latency — the measured bottleneck once
+    buffers are compacted — is paid once for q_stack queries."""
     b128 = block // LANES
     # sentinel-fill once: compacted stores cover only real granule rows
     # (plus each store's static-width tail, overwritten by the next
     # store or left at its masked sentinel value)
-    dacc[:] = jnp.full((r_c + b128, LANES), n_docs, jnp.int32)
-    ciacc[:] = jnp.zeros((r_c + b128, LANES), jnp.int32)
+    dacc[:] = jnp.full((q_stack * r_c + b128, LANES), n_docs, jnp.int32)
+    ciacc[:] = jnp.zeros((q_stack * r_c + b128, LANES), jnp.int32)
 
-    def get_dma(j, slot):
-        src = srcrow_ref[0, 0, j]
+    def get_dma(q, j, slot):
+        src = srcrow_ref[q, 0, j]
         return (
             pltpu.make_async_copy(
                 doc_hbm.at[pl.ds(src, b128), :], dbuf.at[slot],
@@ -225,61 +252,67 @@ def _fused_kernel(
             ),
         )
 
-    def start(j):
-        @pl.when(srcrow_ref[0, 0, j] >= 0)
+    def start(jj):
+        q, j = divmod(jj, n_blocks)
+
+        @pl.when(srcrow_ref[q, 0, j] >= 0)
         def _():
-            da, va = get_dma(j, j % DEPTH)
+            da, va = get_dma(q, j, jj % DEPTH)
             da.start()
             va.start()
 
-    for j in range(min(DEPTH, n_blocks)):
-        start(j)
+    total = q_stack * n_blocks
+    for jj in range(min(DEPTH, total)):
+        start(jj)
     r_idx = jax.lax.broadcasted_iota(jnp.int32, (b128, LANES), 0)
     l_idx = jax.lax.broadcasted_iota(jnp.int32, (b128, LANES), 1)
     flat = r_idx * LANES + l_idx
-    for j in range(n_blocks):
-        slot = j % DEPTH
+    for jj in range(total):
+        q, j = divmod(jj, n_blocks)
+        slot = jj % DEPTH
 
-        @pl.when(srcrow_ref[0, 0, j] >= 0)
+        @pl.when(srcrow_ref[q, 0, j] >= 0)
         def _():
-            da, va = get_dma(j, slot)
+            da, va = get_dma(q, j, slot)
             da.wait()
             va.wait()
             dch = dbuf[slot]
             vch = jax.lax.bitcast_convert_type(vbuf[slot], jnp.float32)
             # slot coefficient, broadcast from its bits (exact f32)
             a = jax.lax.bitcast_convert_type(
-                jnp.full((b128, LANES), abits_ref[0, 0, j], jnp.int32),
+                jnp.full((b128, LANES), abits_ref[q, 0, j], jnp.int32),
                 jnp.float32,
             )
             # DESIGN.md §2 quantization — identical ops to the XLA path
             ci_f = jnp.round((a * vch) * scale)
             ci = jnp.clip(ci_f, 0.0, clip).astype(jnp.int32)
-            valid = flat < rem_ref[0, 0, j]
+            valid = flat < rem_ref[q, 0, j]
             # compacted store: this block's real granule rows land at
-            # the running dstrow offset; the static b128-row store width
-            # overhangs into rows the NEXT block overwrites (or, for the
-            # last block, into masked sentinels within the b128 slack)
-            dst = dstrow_ref[0, 0, j]
+            # the running dstrow offset inside query q's region; the
+            # static b128-row store width overhangs into rows the NEXT
+            # store (same or next query, ascending jj) overwrites, or
+            # into masked sentinels
+            dst = q * r_c + dstrow_ref[q, 0, j]
             dacc[pl.ds(dst, b128), :] = jnp.where(valid, dch, n_docs)
             ciacc[pl.ds(dst, b128), :] = jnp.where(valid, ci, 0)
 
         # skipped blocks (srcrow < 0) occupy zero compacted rows; the
         # sentinel prefill already covers them
 
-        nxt = j + DEPTH
-        if nxt < n_blocks:
+        nxt = jj + DEPTH
+        if nxt < total:
             start(nxt)
     vals, docs = merge_rank_body(
-        dacc[pl.ds(0, r_c)],
-        ciacc[pl.ds(0, r_c)],
+        dacc[pl.ds(0, q_stack * r_c)],
+        ciacc[pl.ds(0, q_stack * r_c)],
         block=GRANULE_ROWS * LANES,
         s=s,
         k=k,
         n_docs=n_docs,
+        q_regions=q_stack,
     )
-    vals_ref[0] = vals
-    docs_ref[0] = docs
+    vals_ref[:, 0, :] = vals
+    docs_ref[:, 0, :] = docs
 
 
 @partial(
@@ -293,6 +326,7 @@ def _fused_kernel(
         "scale",
         "clip",
         "r_c",
+        "q_stack",
         "interpret",
     ),
 )
@@ -311,6 +345,7 @@ def fused_search_pallas(
     scale: float,  # static: f32(2^scale_bits) as a Python float
     clip: float,  # static: f32(quant_clip_max) as a Python float
     r_c: int | None = None,  # compacted buffer rows (pow2); None = full
+    q_stack: int = 1,  # queries ranked per program (pow2, divides nq)
     interpret: bool = False,
 ):
     """(vals, docs_local) (nq, k) int32, ranked (score desc, doc asc);
@@ -318,7 +353,8 @@ def fused_search_pallas(
     the same plan (tested). r_c bounds the compacted candidate buffer:
     every query in the call must satisfy sum of granule-rounded real
     rows <= r_c (the bucketed planner guarantees it); smaller r_c means
-    proportionally less merge/run-sum/top-k work."""
+    proportionally less merge/run-sum/top-k work. q_stack queries share
+    one program's region-parallel rank pipeline (pick_stack)."""
     from ..index.csr import NNZ_SLICE_MARGIN
 
     nq = srcrow.shape[0]
@@ -330,6 +366,9 @@ def fused_search_pallas(
         f"r_c={r_c} must be a power of two (bitonic merge width)"
     )
     assert r_c % GRANULE_ROWS == 0
+    assert q_stack >= 1 and nq % q_stack == 0, (
+        f"q_stack={q_stack} must divide the batch ({nq})"
+    )
     assert block <= NNZ_SLICE_MARGIN, (
         f"block={block} exceeds the builder's slice margin "
         f"({NNZ_SLICE_MARGIN}); tail DMAs would read out of bounds"
@@ -344,14 +383,15 @@ def fused_search_pallas(
         scale=scale,
         clip=clip,
         r_c=r_c,
+        q_stack=q_stack,
     )
     smem = partial(
-        pl.BlockSpec, (1, 1, n_blocks), lambda q: (q, 0, 0),
+        pl.BlockSpec, (q_stack, 1, n_blocks), lambda q: (q, 0, 0),
         memory_space=pltpu.SMEM,
     )
     vals, docs = pl.pallas_call(
         kernel,
-        grid=(nq,),
+        grid=(nq // q_stack,),
         in_specs=[
             smem(),
             smem(),
@@ -362,17 +402,19 @@ def fused_search_pallas(
         ],
         out_specs=(
             pl.BlockSpec(
-                (1, 1, LANES), lambda q: (q, 0, 0), memory_space=pltpu.VMEM
+                (q_stack, 1, LANES), lambda q: (q, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, LANES), lambda q: (q, 0, 0), memory_space=pltpu.VMEM
+                (q_stack, 1, LANES), lambda q: (q, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
         ),
         scratch_shapes=[
             pltpu.VMEM((DEPTH, b128, LANES), jnp.int32),
             pltpu.VMEM((DEPTH, b128, LANES), jnp.int32),
-            pltpu.VMEM((r_c + b128, LANES), jnp.int32),
-            pltpu.VMEM((r_c + b128, LANES), jnp.int32),
+            pltpu.VMEM((q_stack * r_c + b128, LANES), jnp.int32),
+            pltpu.VMEM((q_stack * r_c + b128, LANES), jnp.int32),
             pltpu.SemaphoreType.DMA((2, DEPTH)),
         ],
         out_shape=(
@@ -431,6 +473,8 @@ def fused_search(
     crows = _compact_rows(rem[:, 0, :], block)
     need = max(int(crows.sum(axis=1).max()), 1)
     r_c = 1 << int(np.ceil(np.log2(need)))
+    nq = rows.shape[0]
+    q_stack = pick_stack(nq, r_c) if nq & (nq - 1) == 0 else 1
     vals, docs = fused_search_pallas(
         post_doc,
         post_val,
@@ -446,6 +490,7 @@ def fused_search(
         scale=scale,
         clip=clip,
         r_c=r_c,
+        q_stack=q_stack,
         interpret=interpret,
     )
     gids = jnp.where(vals > 0, docs + doc_base, -1)

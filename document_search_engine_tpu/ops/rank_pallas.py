@@ -51,17 +51,54 @@ def _roll(x, sh: int, axis: int):
     return pltpu.roll(x, sh, axis=axis)
 
 
-def merge_rank_body(d, ci, *, block: int, s: int, k: int, n_docs: int):
+def _extract_topk(cand, d, *, k: int, n_docs: int):
+    """Iterative top-k extraction over one query's (R, 128) candidates:
+    ~5 full-array passes per result — the cheapest exact scheme at small
+    k (the production k=10). Returns (vals, docs) as (1, LANES)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    vals_out = jnp.full((1, LANES), -1, jnp.int32)
+    docs_out = jnp.full((1, LANES), -1, jnp.int32)
+    for t in range(k):
+        m = jnp.max(cand)
+        sel = jnp.min(jnp.where(cand == m, d, jnp.int32(n_docs)))
+        hit = m > 0
+        vals_out = jnp.where((lane == t) & hit, m, vals_out)
+        docs_out = jnp.where((lane == t) & hit, sel, docs_out)
+        cand = jnp.where((cand == m) & (d == sel), jnp.int32(-1), cand)
+    return vals_out, docs_out
+
+
+def merge_rank_body(
+    d, ci, *, block: int, s: int, k: int, n_docs: int, q_regions: int = 1
+):
     """The shared in-VMEM rank pipeline on (R, 128) values: bitonic merge
     of the pre-sorted `block`-runs, segmented run-sums, iterative top-k.
-    Returns (vals, docs) as (1, LANES) lane vectors (first k lanes used).
     Used by the standalone rank kernel below and the fused
-    DMA-pack+score+rank kernel (ops/fused_pallas.py)."""
+    DMA-pack+score+rank kernel (ops/fused_pallas.py).
+
+    q_regions == 1 (the standalone-kernel case): one query's candidates;
+    returns (vals, docs) as (1, LANES) lane vectors (first k lanes used).
+
+    q_regions > 1 (the stacked fused kernel): the rows hold q_regions
+    independent queries as contiguous pow-2 regions of R/q_regions rows
+    each. Every xor-stride network op stays inside its region
+    automatically (XOR of a sub-region stride preserves the region
+    bits), so ONE full-array pass advances every query's network by one
+    stage — the per-stage dependency latency that dominates small
+    per-query buffers (measured: 4x fewer rows bought only 1.4x) is
+    amortized q_regions ways. Returns (vals, docs) as
+    (q_regions, LANES) — row q is query q's lane vector."""
     r_dim = d.shape[0]
-    c_total = r_dim * LANES
+    assert r_dim % q_regions == 0
+    region_rows = r_dim // q_regions
+    c_region = region_rows * LANES  # per-query candidate capacity
+    assert c_region & (c_region - 1) == 0
     r_idx = jax.lax.broadcasted_iota(jnp.int32, (r_dim, LANES), 0)
     l_idx = jax.lax.broadcasted_iota(jnp.int32, (r_dim, LANES), 1)
     f = r_idx * LANES + l_idx
+    # flat position within the query's own region: identical to f for
+    # one region (bit masking below region size is a no-op there)
+    f_loc = f & (c_region - 1) if q_regions > 1 else f
 
     # bit masks are shared across passes (d and ci use the same stride,
     # and `is_low` below IS the stride's select mask); computing each
@@ -78,7 +115,8 @@ def merge_rank_body(d, ci, *, block: int, s: int, k: int, n_docs: int):
         return _masks[kk]
 
     def xor_perm(x, kk):
-        """y[f] = x[f XOR kk], kk a power of two < c_total."""
+        """y[f] = x[f XOR kk], kk a power of two < c_region. Region-safe
+        by construction: f XOR kk shares f's region bits."""
         if kk < LANES:
             up = _roll(x, -kk, 1)  # x[r, l+kk] at lanes with bit kk clear
             dn = _roll(x, kk, 1)
@@ -89,14 +127,15 @@ def merge_rank_body(d, ci, *, block: int, s: int, k: int, n_docs: int):
         return jnp.where(bit_clear(kk), up, dn)
 
     def shift_right(x, j, fill):
-        """y[f] = x[f-j] (0 < j < 128), `fill` for f < j."""
+        """y[f] = x[f-j] (0 < j < 128), `fill` for f_loc < j (shifts
+        never cross a region boundary)."""
         same = _roll(x, j, 1)  # x[r, l-j] where l >= j
         prev = _roll(_roll(x, 1, 0), j, 1)  # x[r-1, 128-j+l] where l < j
         y = jnp.where(l_idx >= j, same, prev)
-        return jnp.where(f >= j, y, fill)
+        return jnp.where(f_loc >= j, y, fill)
 
     # --- stage 1: bitonic merge of the pre-sorted `block`-runs ---------
-    n_runs = c_total // block
+    n_runs = c_region // block
     if n_runs >= 2:
         # reverse odd runs (XOR with block-1, one bit at a time) so runs
         # alternate ascending/descending — each pair is then bitonic
@@ -107,10 +146,11 @@ def merge_rank_body(d, ci, *, block: int, s: int, k: int, n_docs: int):
             ci = jnp.where(odd_run, xor_perm(ci, kk), ci)
             kk *= 2
         # merge levels: bitonic length L -> sorted runs of L, directions
-        # alternating by bit L of f (all-ascending at the final level)
+        # alternating by bit L of f (all-ascending at the final level,
+        # which spans exactly one region)
         level = 2 * block
-        while level <= c_total:
-            if level < c_total:
+        while level <= c_region:
+            if level < c_region:
                 desc = ~bit_clear(level)
             else:
                 desc = None
@@ -141,26 +181,30 @@ def merge_rank_body(d, ci, *, block: int, s: int, k: int, n_docs: int):
     nxt_same = _roll(d, -1, 1)
     nxt_prev = _roll(_roll(d, -1, 0), -1, 1)
     d_next = jnp.where(l_idx < LANES - 1, nxt_same, nxt_prev)
-    d_next = jnp.where(f < c_total - 1, d_next, jnp.int32(-2))
+    d_next = jnp.where(f_loc < c_region - 1, d_next, jnp.int32(-2))
     cand = jnp.where(
         (d != d_next) & (d < n_docs) & (run > 0), run, jnp.int32(-1)
     )
     if k <= 16:
-        # iterative extraction: ~5 full-array passes per result — the
-        # cheapest exact scheme at small k (the production k=10)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
-        vals_out = jnp.full((1, LANES), -1, jnp.int32)
-        docs_out = jnp.full((1, LANES), -1, jnp.int32)
-        for t in range(k):
-            m = jnp.max(cand)
-            sel = jnp.min(jnp.where(cand == m, d, jnp.int32(n_docs)))
-            hit = m > 0
-            vals_out = jnp.where((lane == t) & hit, m, vals_out)
-            docs_out = jnp.where((lane == t) & hit, sel, docs_out)
-            cand = jnp.where(
-                (cand == m) & (d == sel), jnp.int32(-1), cand
+        if q_regions == 1:
+            return _extract_topk(cand, d, k=k, n_docs=n_docs)
+        # per-region extraction: each region's chain of serial
+        # reductions is independent of the others, so the unrolled
+        # per-region slices interleave in the VLIW schedule instead of
+        # stalling on one query's reduction latency
+        outs = [
+            _extract_topk(
+                cand[q * region_rows : (q + 1) * region_rows],
+                d[q * region_rows : (q + 1) * region_rows],
+                k=k,
+                n_docs=n_docs,
             )
-        return vals_out, docs_out
+            for q in range(q_regions)
+        ]
+        return (
+            jnp.concatenate([v for v, _ in outs], axis=0),
+            jnp.concatenate([g for _, g in outs], axis=0),
+        )
 
     # --- large-k (17..128): bitonic tournament top-128 ------------------
     # Each sublane row is bitonic-sorted by (cand desc, d asc) — rows
@@ -206,9 +250,10 @@ def merge_rank_body(d, ci, *, block: int, s: int, k: int, n_docs: int):
             cand, d = ce_lane(cand, d, kk, dir_desc)
             kk //= 2
 
-    # tournament rounds: winner rows live at multiples of 2s
+    # tournament rounds: winner rows live at multiples of 2s. Strides
+    # stay below region_rows, so each region runs its own tournament.
     s_stride = 1
-    while s_stride < r_dim:
+    while s_stride < region_rows:
         pc = xor_perm(cand, s_stride * LANES)
         pd_ = xor_perm(d, s_stride * LANES)
         win = better(cand, d, pc, pd_)
@@ -216,7 +261,7 @@ def merge_rank_body(d, ci, *, block: int, s: int, k: int, n_docs: int):
         d = jnp.where(win, d, pd_)
         # re-sort each (bitonic) row; direction for the next round:
         # desc when (r & 2s) == 0 (all-desc at the final round)
-        if 2 * s_stride < r_dim:
+        if 2 * s_stride < region_rows:
             nxt_desc = row_bit(2 * s_stride)
         else:
             nxt_desc = jnp.ones((r_dim, LANES), bool)
@@ -226,15 +271,18 @@ def merge_rank_body(d, ci, *, block: int, s: int, k: int, n_docs: int):
             kk //= 2
         s_stride *= 2
 
-    # row 0 now holds the global top-128, (cand desc, d asc)
-    c0 = cand[0:1, :]
-    d0 = d[0:1, :]
+    # each region's start row now holds its top-128, (cand desc, d asc)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
-    good = (lane < k) & (c0 > 0)
-    return (
-        jnp.where(good, c0, jnp.int32(-1)),
-        jnp.where(good, d0, jnp.int32(-1)),
-    )
+    vs, gs = [], []
+    for q in range(q_regions):
+        c0 = cand[q * region_rows : q * region_rows + 1, :]
+        d0 = d[q * region_rows : q * region_rows + 1, :]
+        good = (lane < k) & (c0 > 0)
+        vs.append(jnp.where(good, c0, jnp.int32(-1)))
+        gs.append(jnp.where(good, d0, jnp.int32(-1)))
+    if q_regions == 1:
+        return vs[0], gs[0]
+    return jnp.concatenate(vs, axis=0), jnp.concatenate(gs, axis=0)
 
 
 def _rank_kernel(d_ref, ci_ref, vals_ref, docs_ref, *, block: int, s: int,

@@ -544,11 +544,14 @@ def _sharded_batch_step(
             # d_pad-1 is a safe uniform local sentinel: every shard's
             # real local ids are <= d_pad-2 (d_pad >= max local docs + 1)
             if mode == "fused" and k <= 128:
+                from ..ops.fused_pallas import pick_stack
+
                 v, dloc = fused_search_pallas(
                     pd, pv, sr, rm, ab, dst,
                     n_blocks=n_blocks, block=block, s=s, k=k,
                     n_docs=d_pad - 1, scale=scale, clip=clip,
-                    r_c=r_c, interpret=interpret,
+                    r_c=r_c, q_stack=pick_stack(bq, r_c),
+                    interpret=interpret,
                 )
                 g = jnp.where(v > 0, dloc + base[0, 0], -1)
             else:

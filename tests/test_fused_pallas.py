@@ -68,6 +68,25 @@ def test_fused_kernel_matches_xla_paths():
         np.testing.assert_array_equal(
             np.asarray(got[1]), np.asarray(ref[1]), f"gids blk={blocksize}"
         )
+        # large-k: the region-parallel bitonic-tournament path (k > 16)
+        # under query stacking must also match (nq=8 pow2 -> stacked)
+        ref64 = search_packed(
+            jnp.asarray(indptr), jnp.asarray(pd), jnp.asarray(pv),
+            jnp.asarray(rows), jnp.asarray(coeff),
+            jnp.float32(scale), jnp.float32(clip), jnp.int32(50),
+            c_total=c, k=64, n_docs=n_docs,
+        )
+        got64 = fused_search(
+            jnp.asarray(d2), jnp.asarray(v2), row_start, indptr,
+            rows, coeff, doc_base=50, n_blocks=nb, block=blocksize,
+            k=64, n_docs=n_docs, scale=scale, clip=clip, interpret=True,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got64[0]), np.asarray(ref64[0]), f"v64 {blocksize}"
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got64[1]), np.asarray(ref64[1]), f"g64 {blocksize}"
+        )
 
 
 def test_fused_compaction_fuzz():
