@@ -68,8 +68,47 @@ def _lib():
         ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int64),
     ]
+    if hasattr(lib, "dse_lookup_sorted"):  # older committed .so builds
+        lib.dse_lookup_sorted.restype = None
+        lib.dse_lookup_sorted.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
     _LIB = lib
     return lib
+
+
+def lookup_available() -> bool:
+    lib = _lib()
+    return lib is not None and hasattr(lib, "dse_lookup_sorted")
+
+
+def lookup_sorted_prefixed(
+    vocab: np.ndarray,  # (T,) uint64 ascending
+    prefix_start: np.ndarray,  # (2^bits + 1,) int64 bucket starts
+    prefix_bits: int,
+    needles: np.ndarray,  # (n,) uint64
+) -> np.ndarray:
+    """np.searchsorted(vocab, needles) via the native prefix-table
+    binary search (see analyzer.cpp dse_lookup_sorted)."""
+    lib = _lib()
+    needles = np.ascontiguousarray(needles, dtype=np.uint64)
+    out = np.empty(len(needles), np.int64)
+    lib.dse_lookup_sorted(
+        vocab.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        len(vocab),
+        prefix_start.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        prefix_bits,
+        needles.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        len(needles),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return out
 
 
 def available() -> bool:

@@ -252,6 +252,13 @@ class SearchEngine:
                 host, device, self.config, self.stats
             )
         self._emb_cache = {}  # embeddings depend on post_val
+        # segments whose term table IS the global vocabulary (the common
+        # single-segment/compacted case) can reuse the frontend's vocab
+        # lookup as their row table — no second binary search per batch
+        self._rows_global = [
+            np.array_equal(h.term_hash, self.stats.vocab)
+            for h, _ in self.segments
+        ]
 
     def delete_docs(self, global_ids) -> None:
         """Tombstone docs and update df/N/total_len exactly from the
@@ -459,49 +466,88 @@ class SearchEngine:
         from ..utils import prof
 
         with prof.phase("search.analyze"):
-            slot_h, coeff = self.frontend.analyze(queries, self.stats)
+            slot_h, coeff, rows_g, found_g = self.frontend.analyze_rows(
+                queries, self.stats
+            )
         with prof.phase("search.score"):
-            fut = self._dispatch(slot_h, coeff, k)
+            fut = self._dispatch(slot_h, coeff, k, rows_g, found_g)
             return self._collect(fut)
+
+    def _analyze_for_stream(self, queries):
+        if len(queries) == 0 or not self.segments:
+            return None
+        return self.frontend.analyze_rows(queries, self.stats)
 
     def search_stream(self, query_batches, k: int = 10, depth: int = 2):
         """Pipelined serving loop: yields (ids, scores) per input batch,
         keeping up to `depth` batches in flight so device compute overlaps
         the host->device round trip (the production serving structure;
-        `search` is the depth-1 special case)."""
+        `search` is the depth-1 special case). Text analysis for the
+        next batches runs on a worker thread — the numpy/native frontend
+        releases the GIL, so it overlaps the main thread's device waits
+        instead of extending the serving period."""
         from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
 
         inflight: deque = deque()  # thunks producing (ids, scores)
-        for queries in query_batches:
-            nq = len(queries)
-            if nq == 0 or not self.segments:
-                empty = (
-                    np.full((nq, k), -1, np.int64),
-                    np.full((nq, k), -1, np.int64),
-                )
-                inflight.append(lambda e=empty: e)
-            else:
-                slot_h, coeff = self.frontend.analyze(queries, self.stats)
-                fut = self._dispatch(slot_h, coeff, k)
-                inflight.append(partial(self._collect, fut))
-            if len(inflight) >= depth:
-                yield inflight.popleft()()
-        while inflight:
-            yield inflight.popleft()()
+        an_q: deque = deque()  # (queries, analysis future)
+        it = iter(query_batches)
+        with ThreadPoolExecutor(max_workers=1) as pool:
 
-    def _dispatch(self, slot_h, coeff, k: int):
+            def submit_next() -> bool:
+                try:
+                    queries = next(it)
+                except StopIteration:
+                    return False
+                if not isinstance(queries, (list, tuple)):
+                    queries = list(queries)
+                an_q.append(
+                    (queries, pool.submit(self._analyze_for_stream, queries))
+                )
+                return True
+
+            for _ in range(2):  # analysis lookahead window
+                if not submit_next():
+                    break
+            while an_q:
+                queries, fut_an = an_q.popleft()
+                res = fut_an.result()
+                submit_next()
+                nq = len(queries)
+                if res is None:
+                    empty = (
+                        np.full((nq, k), -1, np.int64),
+                        np.full((nq, k), -1, np.int64),
+                    )
+                    inflight.append(lambda e=empty: e)
+                else:
+                    slot_h, coeff, rows_g, found_g = res
+                    fut = self._dispatch(slot_h, coeff, k, rows_g, found_g)
+                    inflight.append(partial(self._collect, fut))
+                if len(inflight) >= depth:
+                    yield inflight.popleft()()
+            while inflight:
+                yield inflight.popleft()()
+
+    def _dispatch(self, slot_h, coeff, k: int, rows_g=None, found_g=None):
         """Host planning + ONE fused device dispatch for a query batch.
 
-        Host work per batch: slot->row lookup per segment, mixed-block
-        bucketing, and slicing the padded (bq, S) rows/coeff arrays per
-        bucket. Those two small arrays per bucket are the only H2D; the
-        DMA plan tables expand on device inside the batch step. Returns
-        the in-flight device outputs plus assembly metadata, so callers
-        can pipeline batches (search_stream) before forcing D2H.
+        Host work per batch: slot->row lookup per segment (skipped for
+        segments whose term table is the global vocabulary when the
+        frontend's rows_g/found_g are provided — the common compacted
+        case), mixed-block bucketing, and slicing the padded (bq, S)
+        rows/coeff arrays per bucket. Those two small arrays per bucket
+        are the only H2D; the DMA plan tables expand on device inside
+        the batch step. Returns the in-flight device outputs plus
+        assembly metadata, so callers can pipeline batches
+        (search_stream) before forcing D2H.
         """
         mode = self.scorer_mode
+        n_slots = slot_h.shape[1]
         slot_h, coeff = slice_active_slots(slot_h, coeff)
         nq, s = coeff.shape
+        if rows_g is not None and s != n_slots:
+            rows_g, found_g = rows_g[:, :s], found_g[:, :s]
         sc = self.config.scoring
         scale = float(F32(2.0**sc.scale_bits))
         clip = float(
@@ -515,8 +561,14 @@ class SearchEngine:
         plan = []  # static: per seg (n_docs, s, ((nb, blk, bq, rc), ...))
         idx_map = []  # per segment: list of original-query index arrays
         r_subs, a_subs = [], []
-        for host, device in self.segments:
-            rows, found = segment_rows(host.term_hash, slot_h)
+        seg_global = getattr(
+            self, "_rows_global", [False] * len(self.segments)
+        )
+        for si, (host, device) in enumerate(self.segments):
+            if rows_g is not None and seg_global[si]:
+                rows, found = rows_g, found_g
+            else:
+                rows, found = segment_rows(host.term_hash, slot_h)
             a_seg = np.where(found, coeff, F32(0.0)).astype(F32)
             buckets = []
             idxs = []

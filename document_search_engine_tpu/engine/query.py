@@ -57,10 +57,22 @@ class QueryFrontend:
 
     def analyze(self, queries, stats: GlobalStats):
         """(slot_hashes (nq,S) uint64, coeff (nq,S) f32). Empty slots have
-        hash 0 and coeff 0 (contribute nothing in any segment).
+        hash 0 and coeff 0 (contribute nothing in any segment)."""
+        out_h, out_a, _rows, _found = self.analyze_rows(queries, stats)
+        return out_h, out_a
+
+    def analyze_rows(self, queries, stats: GlobalStats):
+        """(slot_hashes, coeff, rows, found) — like analyze, plus each
+        slot's row index into stats.vocab (0 where absent) and its found
+        mask, from the SAME single binary search that produced the dfs.
+        The vocab lookup is the analysis bottleneck at large
+        vocabularies (~12 of 18 ms per 8k-query batch), and the
+        dispatcher needs exactly this lookup again for any segment whose
+        term table is the global vocabulary — returning it here halves
+        the frontend's lookup work on the serving path.
 
         Batched fast path: native analyzer over all queries, one
-        searchsorted for df, vectorized f32 spec math in the same
+        searchsorted for df+rows, vectorized f32 spec math in the same
         per-query operation order (bit-identical to analyze_slow —
         tested). Queries with more unique terms than slots take the
         per-query path (slot selection is per-query logic)."""
@@ -73,8 +85,10 @@ class QueryFrontend:
         lens = np.diff(analyzed.doc_ptr)
         out_h = np.zeros((nq, s), dtype=np.uint64)
         out_a = np.zeros((nq, s), dtype=F32)
-        if len(analyzed.hashes) == 0:
-            return out_h, out_a
+        out_r = np.zeros((nq, s), dtype=np.int32)
+        out_f = np.zeros((nq, s), dtype=bool)
+        if len(analyzed.hashes) == 0 or len(stats.vocab) == 0:
+            return out_h, out_a, out_r, out_f
 
         ok = lens <= s  # slot-overflow queries take the per-query path
         # operate on the batch's ACTIVE column range only: every array
@@ -89,11 +103,17 @@ class QueryFrontend:
         qtf = np.where(mask, analyzed.tfs[slot_idx], 0).astype(np.int32)
 
         kind = self.config.scoring.kind
-        # df lookup on the REAL slots only (most of the batch is empty
-        # padding; at large vocabularies the lookup is the analysis
-        # bottleneck — 4x fewer needles at the default slot width)
+        # ONE vocab lookup on the REAL slots only (most of the batch is
+        # empty padding) yields df, row index and found together
+        idx = stats.lookup(h_act[mask])
+        idx_c = np.minimum(idx, len(stats.vocab) - 1).astype(np.int64)
+        fnd = stats.vocab[idx_c] == h_act[mask]
         dfs = np.zeros((nq, lmax), np.int32)
-        dfs[mask] = stats.df_of(h_act[mask])
+        dfs[mask] = np.where(fnd, stats.df[idx_c], 0)
+        rows_act = np.zeros((nq, lmax), np.int32)
+        rows_act[mask] = np.where(fnd, idx_c, 0).astype(np.int32)
+        fnd_act = np.zeros((nq, lmax), bool)
+        fnd_act[mask] = fnd
         idf = spec.idf_of(kind, stats.n_alive, dfs)
         qtff = qtf.astype(F32)
         if kind == "tfidf":
@@ -107,8 +127,11 @@ class QueryFrontend:
         a_act = np.where(idf == F32(0.0), F32(0.0), a_act).astype(F32)
         out_h[:, :lmax] = h_act
         out_a[:, :lmax] = a_act
+        out_r[:, :lmax] = rows_act
+        out_f[:, :lmax] = fnd_act
 
-        for i in np.nonzero(~ok)[0]:
+        slow = np.nonzero(~ok)[0]
+        for i in slow:
             out_h[i] = 0
             out_a[i] = F32(0.0)
             r = self._analyze_one(queries[i], stats, s)
@@ -117,7 +140,11 @@ class QueryFrontend:
             hashes, a = r
             out_h[i, : len(hashes)] = hashes
             out_a[i, : len(hashes)] = a
-        return out_h, out_a
+        if len(slow):
+            rows_s, found_s = segment_rows(stats.vocab, out_h[slow])
+            out_r[slow] = rows_s
+            out_f[slow] = found_s
+        return out_h, out_a, out_r, out_f
 
 
 def segment_rows(term_hash: np.ndarray, slot_hashes: np.ndarray):

@@ -127,12 +127,39 @@ class GlobalStats:
     n_alive: int
     total_len_alive: int
 
+    def lookup(self, hashes: np.ndarray) -> np.ndarray:
+        """np.searchsorted(self.vocab, hashes) — the query-serving hot
+        lookup. Uses the native prefix-table binary search when the
+        analyzer library is built (~10x over numpy at production vocab
+        sizes; stats objects are recreated on every refresh, so the
+        per-instance prefix table can never go stale). Identical
+        results to numpy's searchsorted (tested)."""
+        from ..analyze import native
+
+        n = len(self.vocab)
+        if n < 4096 or len(hashes) < 512 or not native.lookup_available():
+            return lookup_sorted(self.vocab, hashes)
+        tbl = getattr(self, "_prefix_tbl", None)
+        if tbl is None:
+            bits = max(10, min(18, int(np.ceil(np.log2(n)))))
+            bounds = np.arange(1 << bits, dtype=np.uint64) << (64 - bits)
+            starts = np.empty((1 << bits) + 1, np.int64)
+            starts[:-1] = np.searchsorted(self.vocab, bounds)
+            starts[-1] = n
+            vocab_c = np.ascontiguousarray(self.vocab, dtype=np.uint64)
+            tbl = (vocab_c, starts, bits)
+            object.__setattr__(self, "_prefix_tbl", tbl)
+        vocab_c, starts, bits = tbl
+        flat = np.ascontiguousarray(hashes).reshape(-1)
+        out = native.lookup_sorted_prefixed(vocab_c, starts, bits, flat)
+        return out.reshape(np.shape(hashes))
+
     def df_of(self, hashes: np.ndarray) -> np.ndarray:
         """df per query hash; 0 for unknown terms."""
-        idx = lookup_sorted(self.vocab, hashes)
-        idx_c = np.minimum(idx, max(len(self.vocab) - 1, 0))
         if len(self.vocab) == 0:
             return np.zeros(len(hashes), dtype=np.int32)
+        idx = self.lookup(hashes)
+        idx_c = np.minimum(idx, max(len(self.vocab) - 1, 0))
         found = self.vocab[idx_c] == hashes
         return np.where(found, self.df[idx_c], 0).astype(np.int32)
 

@@ -963,46 +963,80 @@ class DistributedSearchEngine:
         fut = self._dispatch(queries, k)
         return self._collect(fut)
 
+    def _analyze_for_stream(self, queries):
+        if len(queries) == 0 or self.index is None:
+            return None
+        return self.frontend.analyze_rows(queries, self.index.stats)
+
     def search_stream(self, query_batches, k: int = 10, depth: int = 2):
         """Pipelined sharded serving loop (same contract as
         SearchEngine.search_stream): one SPMD dispatch per batch, up to
-        `depth` batches in flight."""
+        `depth` batches in flight; text analysis prefetched on a worker
+        thread (see SearchEngine.search_stream)."""
         from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
         from functools import partial as _partial
 
         inflight: deque = deque()
-        for queries in query_batches:
-            nq = len(queries)
-            if self.index is None or nq == 0:
-                empty = (
-                    np.full((nq, k), -1, np.int64),
-                    np.full((nq, k), -1, np.int64),
-                )
-                inflight.append(lambda e=empty: e)
-            else:
-                fut = self._dispatch(queries, k)
-                inflight.append(_partial(self._collect, fut))
-            if len(inflight) >= depth:
-                yield inflight.popleft()()
-        while inflight:
-            yield inflight.popleft()()
+        an_q: deque = deque()
+        it = iter(query_batches)
+        with ThreadPoolExecutor(max_workers=1) as pool:
 
-    def _dispatch(self, queries, k: int):
+            def submit_next() -> bool:
+                try:
+                    queries = next(it)
+                except StopIteration:
+                    return False
+                if not isinstance(queries, (list, tuple)):
+                    queries = list(queries)
+                an_q.append(
+                    (queries, pool.submit(self._analyze_for_stream, queries))
+                )
+                return True
+
+            for _ in range(2):  # analysis lookahead window
+                if not submit_next():
+                    break
+            while an_q:
+                queries, fut_an = an_q.popleft()
+                res = fut_an.result()
+                submit_next()
+                nq = len(queries)
+                if res is None:
+                    empty = (
+                        np.full((nq, k), -1, np.int64),
+                        np.full((nq, k), -1, np.int64),
+                    )
+                    inflight.append(lambda e=empty: e)
+                else:
+                    fut = self._dispatch(queries, k, analyzed=res)
+                    inflight.append(_partial(self._collect, fut))
+                if len(inflight) >= depth:
+                    yield inflight.popleft()()
+            while inflight:
+                yield inflight.popleft()()
+
+    def _dispatch(self, queries, k: int, analyzed=None):
         """Host planning + ONE fused SPMD dispatch for a query batch.
 
-        Rows are global, so the host does ONE vocab lookup and ships ONE
-        replicated (B_total, S) rows/coeff-bits pair; per-shard DMA plan
-        tables expand on device inside the SPMD program. Block budgets
-        are scorer-tuned families, max-over-shards per bucket (uniform
-        SPMD shapes)."""
+        Rows are global, so the host does ONE vocab lookup — inside the
+        frontend, which returns the row table with the dfs — and ships
+        ONE replicated (B_total, S) rows/coeff-bits pair; per-shard DMA
+        plan tables expand on device inside the SPMD program. Block
+        budgets are scorer-tuned families, max-over-shards per bucket
+        (uniform SPMD shapes)."""
         from ..engine.engine import slice_active_slots
 
         idx = self.index
         nq = len(queries)
-        slot_h, coeff = self.frontend.analyze(queries, idx.stats)
+        if analyzed is None:
+            analyzed = self.frontend.analyze_rows(queries, idx.stats)
+        slot_h, coeff, rows, found = analyzed
+        n_slots = slot_h.shape[1]
         slot_h, coeff = slice_active_slots(slot_h, coeff)
         s = slot_h.shape[1]
-        rows, found = segment_rows(idx.stats.vocab, slot_h)
+        if s != n_slots:
+            rows, found = rows[:, :s], found[:, :s]
         a_all = np.where(found, coeff, F32(0.0)).astype(F32)
         # per-shard per-slot lengths from the host global tables
         lens_sh = (

@@ -138,4 +138,31 @@ int64_t dse_analyze_docs(const char *buf, const int64_t *offs,
   return w;
 }
 
+// np.searchsorted(vocab, needles, side="left"), accelerated by a
+// prefix table: prefix_start[p] = first vocab index whose top
+// `prefix_bits` hash bits are >= p (built once per stats refresh with
+// one numpy searchsorted over the 2^prefix_bits boundaries, plus the
+// terminating n_vocab entry). FNV hashes are uniform, so each prefix
+// bucket holds ~n_vocab / 2^prefix_bits entries and the binary search
+// collapses to a couple of probes — ~10x over numpy's full-range
+// search on the query-serving hot path.
+void dse_lookup_sorted(const uint64_t *vocab, int64_t n_vocab,
+                       const int64_t *prefix_start, int32_t prefix_bits,
+                       const uint64_t *needles, int64_t n,
+                       int64_t *out_idx) {
+  (void)n_vocab;
+  const int shift = 64 - prefix_bits;
+  for (int64_t i = 0; i < n; ++i) {
+    const uint64_t x = needles[i];
+    const uint64_t p = x >> shift;
+    int64_t lo = prefix_start[p];
+    int64_t hi = prefix_start[p + 1];
+    while (lo < hi) {
+      const int64_t mid = (lo + hi) >> 1;
+      if (vocab[mid] < x) lo = mid + 1; else hi = mid;
+    }
+    out_idx[i] = lo;
+  }
+}
+
 }  // extern "C"
