@@ -128,15 +128,7 @@ def hash_batch_ascii(texts, config: AnalyzerConfig):
     token-order preserved within each doc."""
     lib = _lib()
     n = len(texts)
-    buf = ("\x00".join(texts)).encode("ascii")  # \x00 is a separator
-    # doc i scans [offs[i], offs[i+1]); the trailing separator inside the
-    # range is a non-token byte and just terminates the last run.
-    offs = np.zeros(n + 1, np.int64)
-    acc = 0
-    for i, t in enumerate(texts):
-        offs[i] = acc
-        acc += len(t) + 1
-    offs[n] = len(buf)
+    buf, offs = _buf_offs(texts)
     dl = np.zeros(n, np.int64)
     c_offs = offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
     total = lib.dse_count_tokens(
@@ -162,13 +154,18 @@ def hash_batch_ascii(texts, config: AnalyzerConfig):
 
 
 def _buf_offs(texts):
+    """Concatenated \\x00-separated ASCII buffer + per-doc byte offsets;
+    doc i scans [offs[i], offs[i+1]) — the trailing separator inside the
+    range is a non-token byte and just terminates the last run."""
     n = len(texts)
     buf = ("\x00".join(texts)).encode("ascii")
-    offs = np.zeros(n + 1, np.int64)
-    acc = 0
-    for i, t in enumerate(texts):
-        offs[i] = acc
-        acc += len(t) + 1
+    offs = np.empty(n + 1, np.int64)
+    offs[0] = 0
+    # vectorized byte-length cumsum (a Python per-string loop costs
+    # ~1 ms per 8k queries on the serving path)
+    np.cumsum(
+        np.fromiter(map(len, texts), np.int64, count=n) + 1, out=offs[1:]
+    )
     offs[n] = len(buf)
     return buf, offs
 
