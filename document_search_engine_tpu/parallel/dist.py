@@ -657,6 +657,8 @@ class DistributedSearchEngine:
         # the ONE-SPMD-job build (build_sharded_spmd); host build kept
         # as the tested-equal fallback
         self.device_build: bool = True
+        # smallest per-bucket n_blocks budget (see SearchEngine)
+        self.plan_min_blocks: int = 4
 
     def build(self, texts) -> None:
         self.index = build_sharded(
@@ -1054,7 +1056,7 @@ class DistributedSearchEngine:
         buckets, idxs, r_subs, a_subs = [], [], [], []
         for idx_q, n_blocks, block, r_c in plan_batch_sharded(
             lens_sh, families=families,
-            min_blocks=getattr(self, "plan_min_blocks", 4),
+            min_blocks=self.plan_min_blocks,
             compact=(mode == "fused" and k <= 128),
         ):
             bq = 1 << int(np.ceil(np.log2(max(len(idx_q), 1))))
