@@ -134,6 +134,45 @@ def _batch_step(
     )
 
 
+def pipelined_stream(query_batches, depth, analyze_job, dispatch_job):
+    """Shared serving-loop scaffolding for both engines' search_stream:
+    a worker thread prefetches analysis up to 2 batches ahead while the
+    main thread dispatches and drains a depth-N in-flight window.
+    analyze_job(queries) -> analysis snapshot or None (must be safe to
+    run on a worker thread); dispatch_job(queries, analysis) -> a thunk
+    producing that batch's (ids, scores) when called."""
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    inflight: deque = deque()  # thunks producing (ids, scores)
+    an_q: deque = deque()  # (queries, analysis future)
+    it = iter(query_batches)
+    with ThreadPoolExecutor(max_workers=1) as pool:
+
+        def submit_next() -> bool:
+            try:
+                queries = next(it)
+            except StopIteration:
+                return False
+            if not isinstance(queries, (list, tuple)):
+                queries = list(queries)
+            an_q.append((queries, pool.submit(analyze_job, queries)))
+            return True
+
+        for _ in range(2):  # analysis lookahead window
+            if not submit_next():
+                break
+        while an_q:
+            queries, fut_an = an_q.popleft()
+            res = fut_an.result()
+            submit_next()
+            inflight.append(dispatch_job(queries, res))
+            if len(inflight) >= depth:
+                yield inflight.popleft()()
+        while inflight:
+            yield inflight.popleft()()
+
+
 def slice_active_slots(slot_h: np.ndarray, coeff: np.ndarray):
     """Trim trailing all-zero slot columns to a pow-2 width.
 
@@ -254,11 +293,10 @@ class SearchEngine:
         self._emb_cache = {}  # embeddings depend on post_val
         # segments whose term table IS the global vocabulary (the common
         # single-segment/compacted case) can reuse the frontend's vocab
-        # lookup as their row table — no second binary search per batch
-        self._rows_global = [
-            np.array_equal(h.term_hash, self.stats.vocab)
-            for h, _ in self.segments
-        ]
+        # lookup as their row table — no second binary search per batch.
+        # Invalidated here, recomputed lazily in _dispatch (checkpoint
+        # load constructs engines without a refresh).
+        self._rows_global = None
 
     def delete_docs(self, global_ids) -> None:
         """Tombstone docs and update df/N/total_len exactly from the
@@ -473,11 +511,6 @@ class SearchEngine:
             fut = self._dispatch(slot_h, coeff, k, rows_g, found_g)
             return self._collect(fut)
 
-    def _analyze_for_stream(self, queries):
-        if len(queries) == 0 or not self.segments:
-            return None
-        return self.frontend.analyze_rows(queries, self.stats)
-
     def search_stream(self, query_batches, k: int = 10, depth: int = 2):
         """Pipelined serving loop: yields (ids, scores) per input batch,
         keeping up to `depth` batches in flight so device compute overlaps
@@ -485,49 +518,36 @@ class SearchEngine:
         `search` is the depth-1 special case). Text analysis for the
         next batches runs on a worker thread — the numpy/native frontend
         releases the GIL, so it overlaps the main thread's device waits
-        instead of extending the serving period."""
-        from collections import deque
-        from concurrent.futures import ThreadPoolExecutor
+        instead of extending the serving period. Analysis is re-run
+        synchronously if the engine was mutated (add/delete/compact)
+        between prefetch and dispatch — prefetched row tables are only
+        valid against the stats snapshot they were built from."""
 
-        inflight: deque = deque()  # thunks producing (ids, scores)
-        an_q: deque = deque()  # (queries, analysis future)
-        it = iter(query_batches)
-        with ThreadPoolExecutor(max_workers=1) as pool:
+        def analyze_job(queries):
+            stats = self.stats  # snapshot: identity-checked at dispatch
+            if len(queries) == 0 or not self.segments:
+                return None
+            return (stats, self.frontend.analyze_rows(queries, stats))
 
-            def submit_next() -> bool:
-                try:
-                    queries = next(it)
-                except StopIteration:
-                    return False
-                if not isinstance(queries, (list, tuple)):
-                    queries = list(queries)
-                an_q.append(
-                    (queries, pool.submit(self._analyze_for_stream, queries))
-                )
-                return True
-
-            for _ in range(2):  # analysis lookahead window
-                if not submit_next():
-                    break
-            while an_q:
-                queries, fut_an = an_q.popleft()
-                res = fut_an.result()
-                submit_next()
+        def dispatch_job(queries, res):
+            if res is not None and res[0] is not self.stats:
+                res = analyze_job(queries)  # engine mutated mid-stream
+            if res is None and len(queries) and self.segments:
+                res = analyze_job(queries)  # built mid-stream
+            if res is None:
                 nq = len(queries)
-                if res is None:
-                    empty = (
-                        np.full((nq, k), -1, np.int64),
-                        np.full((nq, k), -1, np.int64),
-                    )
-                    inflight.append(lambda e=empty: e)
-                else:
-                    slot_h, coeff, rows_g, found_g = res
-                    fut = self._dispatch(slot_h, coeff, k, rows_g, found_g)
-                    inflight.append(partial(self._collect, fut))
-                if len(inflight) >= depth:
-                    yield inflight.popleft()()
-            while inflight:
-                yield inflight.popleft()()
+                empty = (
+                    np.full((nq, k), -1, np.int64),
+                    np.full((nq, k), -1, np.int64),
+                )
+                return lambda e=empty: e
+            _stats, (slot_h, coeff, rows_g, found_g) = res
+            fut = self._dispatch(slot_h, coeff, k, rows_g, found_g)
+            return partial(self._collect, fut)
+
+        yield from pipelined_stream(
+            query_batches, depth, analyze_job, dispatch_job
+        )
 
     def _dispatch(self, slot_h, coeff, k: int, rows_g=None, found_g=None):
         """Host planning + ONE fused device dispatch for a query batch.
@@ -561,9 +581,15 @@ class SearchEngine:
         plan = []  # static: per seg (n_docs, s, ((nb, blk, bq, rc), ...))
         idx_map = []  # per segment: list of original-query index arrays
         r_subs, a_subs = [], []
-        seg_global = getattr(
-            self, "_rows_global", [False] * len(self.segments)
-        )
+        # computed lazily so every construction path benefits (the
+        # checkpoint load path sets stats/segments directly without a
+        # refresh — review finding)
+        seg_global = getattr(self, "_rows_global", None)
+        if seg_global is None or len(seg_global) != len(self.segments):
+            seg_global = self._rows_global = [
+                np.array_equal(h.term_hash, self.stats.vocab)
+                for h, _ in self.segments
+            ]
         for si, (host, device) in enumerate(self.segments):
             if rows_g is not None and seg_global[si]:
                 rows, found = rows_g, found_g

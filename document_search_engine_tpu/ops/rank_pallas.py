@@ -244,7 +244,15 @@ def merge_rank_body(
             grp_desc = bit_clear(2 * p)
         else:
             grp_desc = jnp.ones((r_dim, LANES), bool)
-        dir_desc = jnp.logical_xor(grp_desc, ~row_bit(1))
+        if region_rows > 1:
+            dir_desc = jnp.logical_xor(grp_desc, ~row_bit(1))
+        else:
+            # single-row regions never enter the tournament loop, so
+            # there is no final normalizing round — every row must sort
+            # descending here (alternating by row parity would leave
+            # odd regions ascending and extraction would read the worst
+            # candidates)
+            dir_desc = grp_desc
         kk = p
         while kk >= 1:
             cand, d = ce_lane(cand, d, kk, dir_desc)

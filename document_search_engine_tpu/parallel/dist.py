@@ -38,7 +38,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..config import IndexConfig
-from ..engine.query import QueryFrontend, segment_rows
+from ..engine.query import QueryFrontend
 from ..index import builder
 from ..index.csr import GlobalStats, lookup_sorted, merge_stats, round_up
 from ..ops.schedule import (
@@ -965,58 +965,48 @@ class DistributedSearchEngine:
         fut = self._dispatch(queries, k)
         return self._collect(fut)
 
-    def _analyze_for_stream(self, queries):
-        if len(queries) == 0 or self.index is None:
-            return None
-        return self.frontend.analyze_rows(queries, self.index.stats)
-
     def search_stream(self, query_batches, k: int = 10, depth: int = 2):
         """Pipelined sharded serving loop (same contract as
         SearchEngine.search_stream): one SPMD dispatch per batch, up to
         `depth` batches in flight; text analysis prefetched on a worker
-        thread (see SearchEngine.search_stream)."""
-        from collections import deque
-        from concurrent.futures import ThreadPoolExecutor
+        thread and re-run synchronously if the index was swapped between
+        prefetch and dispatch (the prefetched row table is only valid
+        for the index snapshot it was built from)."""
         from functools import partial as _partial
 
-        inflight: deque = deque()
-        an_q: deque = deque()
-        it = iter(query_batches)
-        with ThreadPoolExecutor(max_workers=1) as pool:
+        from ..engine.engine import pipelined_stream
 
-            def submit_next() -> bool:
-                try:
-                    queries = next(it)
-                except StopIteration:
-                    return False
-                if not isinstance(queries, (list, tuple)):
-                    queries = list(queries)
-                an_q.append(
-                    (queries, pool.submit(self._analyze_for_stream, queries))
-                )
-                return True
+        def analyze_job(queries):
+            idx = self.index  # snapshot: identity-checked at dispatch
+            if len(queries) == 0 or idx is None:
+                return None
+            stats = idx.stats  # O(delta) updates replace stats in place
+            return (
+                (idx, stats),
+                self.frontend.analyze_rows(queries, stats),
+            )
 
-            for _ in range(2):  # analysis lookahead window
-                if not submit_next():
-                    break
-            while an_q:
-                queries, fut_an = an_q.popleft()
-                res = fut_an.result()
-                submit_next()
+        def dispatch_job(queries, res):
+            if res is not None and (
+                res[0][0] is not self.index
+                or self.index.stats is not res[0][1]
+            ):
+                res = analyze_job(queries)  # index mutated mid-stream
+            if res is None and len(queries) and self.index is not None:
+                res = analyze_job(queries)  # built mid-stream
+            if res is None:
                 nq = len(queries)
-                if res is None:
-                    empty = (
-                        np.full((nq, k), -1, np.int64),
-                        np.full((nq, k), -1, np.int64),
-                    )
-                    inflight.append(lambda e=empty: e)
-                else:
-                    fut = self._dispatch(queries, k, analyzed=res)
-                    inflight.append(_partial(self._collect, fut))
-                if len(inflight) >= depth:
-                    yield inflight.popleft()()
-            while inflight:
-                yield inflight.popleft()()
+                empty = (
+                    np.full((nq, k), -1, np.int64),
+                    np.full((nq, k), -1, np.int64),
+                )
+                return lambda e=empty: e
+            fut = self._dispatch(queries, k, analyzed=res[1])
+            return _partial(self._collect, fut)
+
+        yield from pipelined_stream(
+            query_batches, depth, analyze_job, dispatch_job
+        )
 
     def _dispatch(self, queries, k: int, analyzed=None):
         """Host planning + ONE fused SPMD dispatch for a query batch.

@@ -90,21 +90,28 @@ def test_fused_kernel_matches_xla_paths():
 
 
 def test_fused_compaction_fuzz():
-    """Compacted candidate buffers (dstrow plan + r_c bound): queries
-    with wildly different real-postings needs share one bucket, so
-    per-query compaction offsets differ and the r_c buffer bound is
-    exercised at its tightest. Must equal the gather-path reference."""
+    """Compacted candidate buffers (dstrow plan + r_c bound) under query
+    stacking: queries with wildly different real-postings needs share
+    one bucket, so per-query compaction offsets differ, the r_c buffer
+    bound is exercised at its tightest, and (nq=8, a power of two, so
+    pick_stack stacks the whole bucket) a fully-empty query sits inside
+    a stacked program — the preceding query's static store-width
+    overhang must leave only masked sentinels in its region. seed 9
+    additionally runs k=17, the extraction->tournament boundary, through
+    the regionized bitonic tournament. Must equal the gather-path
+    reference bit-for-bit."""
     for seed in (7, 8, 9):
         rng = np.random.default_rng(seed)
         n_terms, n_docs = 30, 5000
         indptr, post_doc, post_val, nnz = _csr(rng, n_terms, n_docs, 3000)
         d2, v2, row_start = make_aligned(indptr, post_doc, post_val, n_docs)
-        nq, s, blocksize = 6, 4, 1024
+        nq, s, blocksize = 8, 4, 1024
         rows = rng.integers(0, n_terms, (nq, s)).astype(np.int32)
         coeff = rng.random((nq, s)).astype(np.float32) * 1.5
         # heavy missing-slot mix: some queries nearly empty
         coeff[rng.random((nq, s)) < 0.4] = 0.0
-        coeff[0] = 0.0  # fully empty query in the bucket
+        coeff[0] = 0.0  # fully empty query stacked between real ones
+        coeff[5] = 0.0
         scale = float(np.float32(2.0**16))
         clip = float(np.float32(65075262.0))
         found = coeff > 0
@@ -114,16 +121,17 @@ def test_fused_compaction_fuzz():
             [post_doc, np.full(blocksize, n_docs, np.int32)]
         )
         pv = np.concatenate([post_val, np.zeros(blocksize, np.float32)])
+        k = 17 if seed == 9 else 10
         ref = search_packed(
             jnp.asarray(indptr), jnp.asarray(pd), jnp.asarray(pv),
             jnp.asarray(rows), jnp.asarray(coeff),
             jnp.float32(scale), jnp.float32(clip), jnp.int32(0),
-            c_total=c, k=10, n_docs=n_docs,
+            c_total=c, k=k, n_docs=n_docs,
         )
         got = fused_search(
             jnp.asarray(d2), jnp.asarray(v2), row_start, indptr,
             rows, coeff, doc_base=0, n_blocks=nb, block=blocksize,
-            k=10, n_docs=n_docs, scale=scale, clip=clip, interpret=True,
+            k=k, n_docs=n_docs, scale=scale, clip=clip, interpret=True,
         )
         np.testing.assert_array_equal(
             np.asarray(got[0]), np.asarray(ref[0]), f"vals seed={seed}"
@@ -131,6 +139,51 @@ def test_fused_compaction_fuzz():
         np.testing.assert_array_equal(
             np.asarray(got[1]), np.asarray(ref[1]), f"gids seed={seed}"
         )
+
+
+def test_fused_single_row_regions_large_k():
+    """Regression (review finding): k>16 with single-granule-row regions
+    (every slot tiny -> fused_search's tightest r_c is 1) under query
+    stacking. The regionized tournament has no normalizing final round
+    when region_rows == 1, so stage A must sort every row descending —
+    the original alternating-by-row-parity direction left odd stacked
+    queries ascending and extraction returned all (-1, -1)."""
+    rng = np.random.default_rng(11)
+    n_terms, n_docs = 12, 4000
+    lens = rng.integers(20, 100, n_terms)  # rows all <= 100 postings
+    indptr64 = np.zeros(n_terms + 1, np.int64)
+    np.cumsum(lens, out=indptr64[1:])
+    nnz = int(indptr64[-1])
+    parts = [
+        np.sort(rng.choice(n_docs, size=l, replace=False).astype(np.int32))
+        for l in lens
+    ]
+    post_doc = np.concatenate(parts)
+    post_val = rng.random(nnz, dtype=np.float32) * 0.9 + 0.05
+    indptr = indptr64.astype(np.int32)
+    d2, v2, row_start = make_aligned(indptr, post_doc, post_val, n_docs)
+    nq, s, blocksize, k = 4, 1, 2048, 20
+    rows = rng.integers(0, n_terms, (nq, s)).astype(np.int32)
+    coeff = rng.random((nq, s)).astype(np.float32) * 1.5 + 0.1
+    scale = float(np.float32(2.0**16))
+    clip = float(np.float32(65075262.0))
+    nb = block_plan(indptr, rows, coeff > 0, block=blocksize)
+    c = total_cap(indptr, rows, coeff > 0)
+    pd = np.concatenate([post_doc, np.full(blocksize, n_docs, np.int32)])
+    pv = np.concatenate([post_val, np.zeros(blocksize, np.float32)])
+    ref = search_packed(
+        jnp.asarray(indptr), jnp.asarray(pd), jnp.asarray(pv),
+        jnp.asarray(rows), jnp.asarray(coeff),
+        jnp.float32(scale), jnp.float32(clip), jnp.int32(0),
+        c_total=c, k=k, n_docs=n_docs,
+    )
+    got = fused_search(
+        jnp.asarray(d2), jnp.asarray(v2), row_start, indptr, rows, coeff,
+        doc_base=0, n_blocks=nb, block=blocksize, k=k, n_docs=n_docs,
+        scale=scale, clip=clip, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(ref[1]))
 
 
 def test_fused_kernel_empty_and_missing_slots():

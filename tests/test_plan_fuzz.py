@@ -107,3 +107,45 @@ def test_search_stream_equals_search():
         gs = np.concatenate([g[1] for g in got])
         np.testing.assert_array_equal(gi, ref_i, type(eng).__name__)
         np.testing.assert_array_equal(gs, ref_s, type(eng).__name__)
+
+
+def test_search_stream_mutation_mid_stream():
+    """Regression (review finding): the analysis-prefetch thread
+    snapshots stats up to 2 batches ahead; mutating the engine while
+    consuming the stream must re-analyze against the mutated state, not
+    pair stale row indices with the new vocabulary."""
+    from document_search_engine_tpu.parallel.dist import (
+        DistributedSearchEngine,
+    )
+    from document_search_engine_tpu.parallel.mesh import make_mesh
+
+    docs = synth_corpus(n_docs=80, vocab_size=300, mean_len=25, seed=77)
+    queries = synth_queries(docs, n_queries=12, seed=78)
+    batches = [queries[0:4], queries[4:8], queries[8:12]]
+    cfg = IndexConfig(scoring=ScoringConfig(kind="bm25"))
+    for make in (
+        lambda: SearchEngine(cfg),
+        lambda: DistributedSearchEngine(cfg, mesh=make_mesh(4)),
+    ):
+        eng = make()
+        eng.build(docs)
+        gen = eng.search_stream(batches, k=5, depth=1)
+        first = next(gen)  # batches 0-1 already prefetched at old stats
+        # mutate: delete docs + force compact (new vocab, new stats)
+        eng.delete_docs([1, 7, 30])
+        eng.compact()
+        rest = list(gen)
+        # remaining batches must equal fresh searches on the MUTATED
+        # engine (prefetched analysis must have been recomputed)
+        want1 = eng.search(batches[1], k=5)
+        want2 = eng.search(batches[2], k=5)
+        np.testing.assert_array_equal(rest[0][0], want1[0])
+        np.testing.assert_array_equal(rest[0][1], want1[1])
+        np.testing.assert_array_equal(rest[1][0], want2[0])
+        np.testing.assert_array_equal(rest[1][1], want2[1])
+        # the pre-mutation batch reflected the pre-mutation engine
+        fresh = make()
+        fresh.build(docs)
+        w0 = fresh.search(batches[0], k=5)
+        np.testing.assert_array_equal(first[0], w0[0])
+        np.testing.assert_array_equal(first[1], w0[1])
