@@ -48,8 +48,9 @@ DEPTH = 4  # DMA block pairs in flight per program
 # n_blocks * block / 128. Typical Zipf queries (8 slots of a few hundred
 # postings in 2048-blocks) shrink ~4x.
 # A/B'd on hardware: granule 2 (256-element runs, one fewer merge
-# level) bundled with MAX_STACK=32 measured -17% device step — the
-# tightest compaction + 16-way stacking wins.
+# level) + MAX_STACK=32 measured -17% device step bundled, and
+# MAX_STACK=32 alone -4% — the tightest compaction with 16-way
+# stacking wins.
 GRANULE_ROWS = 1
 
 
