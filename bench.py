@@ -325,16 +325,33 @@ def main():
 
     t0 = time.perf_counter()
     n_out = 0
-    for ids, _scores in eng.search_stream(batch_iter(), k=k, depth=depth):
+    lat = []  # submit->result latency per batch (depth in flight)
+    submit_t = []
+    t_iter = iter(batch_iter())
+
+    def timed_batches():
+        for b in t_iter:
+            submit_t.append(time.perf_counter())
+            yield b
+
+    for ids, _scores in eng.search_stream(timed_batches(), k=k, depth=depth):
+        lat.append(time.perf_counter() - submit_t[len(lat)])
         n_out += len(ids)
     dt = time.perf_counter() - t0
     assert n_out == nq * iters
     qps = nq * iters / dt
+    lat_ms = np.sort(np.array(lat) * 1e3)
     log(
         f"engine serving: {iters} iters in {dt:.3f}s -> {qps:,.0f} "
         f"q/s/chip ({dt/iters*1e3:.2f} ms/batch of {nq}; "
         f"SearchEngine.search_stream over raw text: analyze+plan+stage+"
         f"H2D+dispatch+D2H, depth {depth})"
+    )
+    log(
+        f"batch latency (submit->result, {depth} in flight): "
+        f"p50={lat_ms[len(lat_ms)//2]:.0f} "
+        f"p90={lat_ms[int(len(lat_ms)*0.9)]:.0f} "
+        f"max={lat_ms[-1]:.0f} ms"
     )
 
     # ---- secondary: same loop minus text analysis ----------------------
