@@ -1,0 +1,202 @@
+"""Stable compiled-plan layouts: bound the serving jit-signature space.
+
+The batch step is jit-compiled with the bucket plan as a STATIC argument
+(engine/engine.py _batch_step), so every distinct plan tuple is a full
+XLA program — ~20 MB of compiled executable at production shapes. Left
+alone, each incoming batch produces its own natural plan (pow-2 bucket
+counts flap with sampling noise: 63 vs 65 queries in a cell is a new
+(bq,) shape), and a serving process accumulates programs without bound.
+Round 3's driver bench measured the consequence: 8 query batches -> 8
+~21 MB programs -> 272 s of "compile+warmup" that was actually the axon
+tunnel shipping executables (the persistent cache HIT on every one).
+
+This module canonicalizes natural plans into a per-engine stable layout:
+
+- A layout is a tuple of cells (n_blocks, block, r_c, bq): the compiled
+  bucket grid with fixed pow-2 capacities.
+- Each batch's natural buckets are FITTED into the layout: every query
+  group goes to the smallest cell that dominates its need (same block;
+  cell n_blocks >= bucket n_blocks; cell r_c >= bucket r_c) with free
+  capacity, spilling to larger cells when full. Domination is safe by
+  construction — pow-2 bucketing already runs queries at budgets up to
+  2x their need, and neither the DMA plan expansion nor the compacted
+  candidate buffer assumes the budget is tight.
+- A batch that fits is a HIT: zero new programs, the one resident
+  executable serves it. Cells with no queries this batch still run
+  (zero-padded rows score nothing) — the stability is the point.
+- A batch that does not fit GROWS the layout once: demanded cells are
+  added (tiny ones first folded into a dominating cell so sampling
+  noise cannot mint single-query cells) with `headroom` slack on their
+  pow-2 capacity, and the key recompiles. Layouts converge after one or
+  two batches of representative traffic and then never change.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def _pow2_at_least(n: int, lo: int = 1) -> int:
+    n = max(n, lo)
+    return 1 << int(np.ceil(np.log2(n)))
+
+
+def _dominates(cell, nb: int, blk: int, rc: int) -> bool:
+    c_nb, c_blk, c_rc, _bq = cell
+    return c_blk == blk and c_nb >= nb and c_rc >= rc
+
+
+def _fit(layout, natural):
+    """Assign natural buckets [(idx, nb, blk, rc)] to layout cells.
+
+    Returns (assignments, None) on success — assignments[i] is the
+    concatenated query-index array for layout cell i — or
+    (None, (nb, blk, rc)) naming the first unplaceable bucket.
+    Buckets are placed most-constrained first; each pours into its
+    smallest dominating cell, spilling upward when a cell fills."""
+    free = [bq for (_nb, _blk, _rc, bq) in layout]
+    pieces = [[] for _ in layout]
+    order = sorted(
+        range(len(natural)),
+        key=lambda i: (natural[i][1], natural[i][3]),
+        reverse=True,
+    )
+    for bi in order:
+        idx, nb, blk, rc = natural[bi]
+        remaining = np.asarray(idx)
+        cand = [
+            ci
+            for ci, cell in enumerate(layout)
+            if _dominates(cell, nb, blk, rc)
+        ]
+        # smallest dominating first (layout is kept sorted ascending)
+        for ci in cand:
+            if len(remaining) == 0:
+                break
+            take = min(free[ci], len(remaining))
+            if take <= 0:
+                continue
+            pieces[ci].append(remaining[:take])
+            free[ci] -= take
+            remaining = remaining[take:]
+        if len(remaining):
+            return None, (nb, blk, rc)
+    out = [
+        (
+            np.concatenate(p)
+            if p
+            else np.zeros(0, dtype=np.int64)
+        )
+        for p in pieces
+    ]
+    return out, None
+
+
+class PlanLayoutCache:
+    """Per-engine registry of stable compiled-plan layouts (module
+    docstring). One instance per engine; keys identify everything else
+    static about the program (segment geometry, s, k, scorer mode)."""
+
+    def __init__(self, headroom: float = 1.25, min_cell_frac: float = 1 / 64):
+        self.headroom = headroom
+        self.min_cell_frac = min_cell_frac
+        self._layouts: dict = {}  # key -> tuple[(nb, blk, rc, bq), ...]
+        self.hits = 0
+        self.grows = 0  # layout (re)compiles
+
+    def stats(self) -> str:
+        cells = sum(len(v) for v in self._layouts.values())
+        return (
+            f"layouts={len(self._layouts)} cells={cells} "
+            f"hits={self.hits} grows={self.grows}"
+        )
+
+    def canonicalize(self, key, natural, nq: int):
+        """Map a batch's natural plan [(idx, nb, blk, rc)] onto the
+        stable layout for `key`, growing it when needed. Returns
+        [(idx, nb, blk, rc, bq)] — one entry per layout cell, in layout
+        order (idx possibly empty)."""
+        natural = [
+            (np.asarray(idx), int(nb), int(blk), int(rc))
+            for idx, nb, blk, rc in natural
+        ]
+        layout = self._layouts.get(key)
+        if layout is not None:
+            assignments, fail = _fit(layout, natural)
+            if assignments is not None:
+                self.hits += 1
+                return [
+                    (a, nb, blk, rc, bq)
+                    for a, (nb, blk, rc, bq) in zip(assignments, layout)
+                ]
+        layout = self._grow(layout, natural, nq)
+        # bump capacities until the batch fits (the aggregate-capacity
+        # corner case where spill ordering beats per-cell headroom)
+        for _ in range(64):
+            assignments, fail = _fit(layout, natural)
+            if assignments is not None:
+                break
+            nb, blk, rc = fail
+            layout = _bump(layout, nb, blk, rc)
+        assert assignments is not None, "plan layout failed to converge"
+        self._layouts[key] = layout
+        self.grows += 1
+        return [
+            (a, nb, blk, rc, bq)
+            for a, (nb, blk, rc, bq) in zip(assignments, layout)
+        ]
+
+    def _grow(self, old, natural, nq: int):
+        """New layout covering `natural`: demand cells aggregated, tiny
+        ones folded into a dominating cell, capacities = pow-2 of
+        demand * headroom, merged with (and never shrinking) `old`."""
+        demand: dict = {}
+        for idx, nb, blk, rc in natural:
+            k = (nb, blk, rc)
+            demand[k] = demand.get(k, 0) + len(idx)
+        min_count = max(8, int(nq * self.min_cell_frac))
+        # fold tiny demand cells upward (ascending need order) so noise
+        # cells never become compiled cells
+        for k in sorted(demand):
+            if demand.get(k, 0) >= min_count:
+                continue
+            nb, blk, rc = k
+            doms = sorted(
+                kk
+                for kk in demand
+                if kk != k
+                and kk[1] == blk
+                and kk[0] >= nb
+                and kk[2] >= rc
+            )
+            if doms:
+                demand[doms[0]] += demand.pop(k)
+        cells = {(nb, blk, rc): bq for nb, blk, rc, bq in (old or ())}
+        for (nb, blk, rc), count in demand.items():
+            # capacity floor of 8: a top cell that cannot fold upward
+            # (the heaviest queries) keeps slack so count wiggles in
+            # later batches do not recompile the layout
+            need = _pow2_at_least(
+                int(np.ceil(count * self.headroom)), lo=8
+            )
+            cells[(nb, blk, rc)] = max(cells.get((nb, blk, rc), 0), need)
+        return tuple(
+            (nb, blk, rc, bq)
+            for (nb, blk, rc), bq in sorted(cells.items())
+        )
+
+
+def _bump(layout, nb: int, blk: int, rc: int):
+    """Double the capacity of the smallest cell dominating (nb, blk,
+    rc), or add an exact cell if none exists."""
+    cand = sorted(
+        ci
+        for ci, cell in enumerate(layout)
+        if _dominates(cell, nb, blk, rc)
+    )
+    cells = list(layout)
+    if cand:
+        c_nb, c_blk, c_rc, bq = cells[cand[0]]
+        cells[cand[0]] = (c_nb, c_blk, c_rc, bq * 2)
+    else:
+        cells.append((nb, blk, rc, 8))
+    return tuple(sorted(cells))

@@ -659,6 +659,12 @@ class DistributedSearchEngine:
         self.device_build: bool = True
         # smallest per-bucket n_blocks budget (see SearchEngine)
         self.plan_min_blocks: int = 4
+        # stable compiled-plan layouts (ops/plan_cache.py; see
+        # SearchEngine.plan_cache — one SPMD program per traffic shape
+        # instead of one per batch)
+        from ..ops.plan_cache import PlanLayoutCache
+
+        self.plan_cache: PlanLayoutCache | None = PlanLayoutCache()
 
     def build(self, texts) -> None:
         self.index = build_sharded(
@@ -791,25 +797,15 @@ class DistributedSearchEngine:
         refresh_sharded_vals(self.index, self.config, self.mesh)
 
     def delete_docs(self, global_ids) -> None:
-        """Tombstone docs across shards with exact df/N/avgdl updates."""
+        """Tombstone docs across shards with exact df/N/avgdl updates —
+        vectorized like SearchEngine.delete_docs (one searchsorted over
+        the shard bases, batched df decrements per shard; round-3
+        VERDICT)."""
         if self.index is None:
             return
-        hosts = self.index.hosts
-        changed = False
-        for g in global_ids:
-            for h in hosts:
-                if h.doc_base <= g < h.doc_base + h.n_docs:
-                    ld = g - h.doc_base
-                    if h.alive[ld]:
-                        h.alive[ld] = False
-                        s, e = h.doc_ptr[ld], h.doc_ptr[ld + 1]
-                        rows = np.searchsorted(
-                            h.term_hash, h.doc_hashes[s:e]
-                        )
-                        h.df[rows] -= 1
-                        changed = True
-                    break
-        if changed:
+        from ..engine.engine import delete_from_hosts
+
+        if delete_from_hosts(self.index.hosts, global_ids):
             # O(delta): postings stay resident; only per-doc arrays ship
             self._refresh_sharded_vals()
 
@@ -900,13 +896,23 @@ class DistributedSearchEngine:
 
         if interpret is None:
             interpret = self.mesh.devices.flat[0].platform != "tpu"
+        if k < 1:
+            raise ValueError(f"k must be >= 1, got {k}")
         kk = max(k, candidates)
-        gids, lex = self.search(queries, k=kk)
-        if self.index is None or self.n_docs_total == 0:
-            ri = np.full((len(queries), k), -1, np.int64)
+        nq = len(queries)
+        if nq == 0 or self.index is None or self.n_docs_total == 0:
+            gids, lex = self.search(queries, k=kk)
+            ri = np.full((nq, k), -1, np.int64)
             return gids[:, :k], ri, lex[:, :k]
         idx = self.index
-        slot_h, coeff = self.frontend.analyze(queries, idx.stats)
+        # ONE frontend pass feeds both stages (round-3 VERDICT: the
+        # rerank stage re-analyzed the batch the candidate-gen search
+        # had just analyzed)
+        analyzed = self.frontend.analyze_rows(queries, idx.stats)
+        slot_h, coeff = analyzed[0], analyzed[1]
+        gids, lex = self._collect(
+            self._dispatch(queries, kk, analyzed=analyzed)
+        )
         qemb, ssq_q = query_embeddings_int(slot_h, coeff, dim)
         emb, ssq = self._sharded_embeddings(dim)
         n_docs_sh = np.array(
@@ -1043,13 +1049,28 @@ class DistributedSearchEngine:
         clip = float(
             F32(int(spec.quant_clip_max(self.config.max_query_terms)))
         )
-        buckets, idxs, r_subs, a_subs = [], [], [], []
-        for idx_q, n_blocks, block, r_c in plan_batch_sharded(
+        natural = plan_batch_sharded(
             lens_sh, families=families,
             min_blocks=self.plan_min_blocks,
             compact=(mode == "fused" and k <= 128),
-        ):
-            bq = 1 << int(np.ceil(np.log2(max(len(idx_q), 1))))
+        )
+        if self.plan_cache is not None:
+            key = (
+                idx.n_shards, idx.d_pad, idx.t_pad,
+                int(idx.post_doc.shape[1]), s, k, mode,
+                self.plan_min_blocks,
+            )
+            cells = self.plan_cache.canonicalize(key, natural, nq)
+        else:
+            cells = [
+                (
+                    idx_q, nb, blk, rc,
+                    1 << int(np.ceil(np.log2(max(len(idx_q), 1)))),
+                )
+                for idx_q, nb, blk, rc in natural
+            ]
+        buckets, idxs, r_subs, a_subs = [], [], [], []
+        for idx_q, n_blocks, block, r_c, bq in cells:
             r_sub = np.zeros((bq, s), np.int32)
             a_sub = np.zeros((bq, s), F32)
             r_sub[: len(idx_q)] = rows[idx_q]
@@ -1057,7 +1078,7 @@ class DistributedSearchEngine:
             r_subs.append(r_sub)
             a_subs.append(a_sub)
             buckets.append((n_blocks, block, bq, r_c))
-            idxs.append(idx_q)
+            idxs.append((idx_q, bq))
         vals, gids = _sharded_batch_step(
             idx.post_doc,
             idx.post_val,
@@ -1087,8 +1108,7 @@ class DistributedSearchEngine:
         out_v = np.full((nq, k), -1, np.int64)
         gids_h, vals_h = np.asarray(gids), np.asarray(vals)
         off = 0
-        for idx_q in idxs:
-            bq = 1 << int(np.ceil(np.log2(max(len(idx_q), 1))))
+        for idx_q, bq in idxs:
             out_g[idx_q] = gids_h[off : off + len(idx_q)]
             out_v[idx_q] = vals_h[off : off + len(idx_q)]
             off += bq

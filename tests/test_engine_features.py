@@ -333,3 +333,101 @@ def test_checkpoint_format_guards(tmp_path):
     _json.dump(meta, open(f"{p1}/meta.json", "w"))
     with _pytest.raises(ValueError):
         SearchEngine.load(p1)
+
+
+def _synth_hosts(n_docs, tpd, vocab, seed=0, doc_base=0):
+    """A SegmentHost built from synthetic analyzed docs (no text work):
+    each doc gets `tpd` distinct ascending term hashes (one per vocab
+    stratum) — cheap enough to build 200k docs inside a unit test."""
+    from document_search_engine_tpu.index import builder
+
+    rng = np.random.default_rng(seed)
+    vocab_h = np.unique(
+        rng.integers(1, 2**63, vocab * 2, dtype=np.uint64)
+    )[:vocab]
+    stride = vocab // tpd
+    idx = rng.integers(0, stride, (n_docs, tpd)) + np.arange(tpd) * stride
+    hashes = vocab_h[idx].ravel()
+    tfs = rng.integers(1, 4, n_docs * tpd).astype(np.int32)
+    a = builder.AnalyzedDocs(
+        hashes=hashes,
+        tfs=tfs,
+        doc_ptr=np.arange(n_docs + 1, dtype=np.int64) * tpd,
+        dl=tfs.reshape(n_docs, tpd).sum(1).astype(np.int32),
+    )
+    return builder.build_host_segment(a, doc_base)
+
+
+def test_delete_docs_vectorized_matches_per_doc_reference():
+    """delete_from_hosts == the per-doc loop it replaced, including
+    duplicates, already-dead ids, and out-of-range ids (round-3 VERDICT
+    #5 correctness half)."""
+    import copy
+
+    from document_search_engine_tpu.engine.engine import delete_from_hosts
+
+    h0 = _synth_hosts(40, 4, 80, seed=1, doc_base=0)
+    h1 = _synth_hosts(25, 4, 60, seed=2, doc_base=40)
+    hosts = [h0, h1]
+    ref = copy.deepcopy(hosts)
+    gids = [0, 0, 3, 39, 40, 41, 64, 64, -5, 65, 200, 7]
+
+    def ref_delete(hosts_, gids_):
+        changed = False
+        for g in gids_:
+            for host in hosts_:
+                if host.doc_base <= g < host.doc_base + host.n_docs:
+                    ld = g - host.doc_base
+                    if host.alive[ld]:
+                        host.alive[ld] = False
+                        s, e = host.doc_ptr[ld], host.doc_ptr[ld + 1]
+                        rows = np.searchsorted(
+                            host.term_hash, host.doc_hashes[s:e]
+                        )
+                        host.df[rows] -= 1
+                        changed = True
+                    break
+        return changed
+
+    # second round deletes only already-dead / out-of-range ids
+    for round_gids in (gids, [0, 3, -1, 999]):
+        got = delete_from_hosts(hosts, round_gids)
+        want = ref_delete(ref, round_gids)
+        assert got == want
+        for h_new, h_ref in zip(hosts, ref):
+            np.testing.assert_array_equal(h_new.alive, h_ref.alive)
+            np.testing.assert_array_equal(h_new.df, h_ref.df)
+
+
+def test_delete_docs_host_work_is_vectorized_at_scale():
+    """Deleting 50k docs from a 200k-doc two-segment index must be
+    vectorized host work (sub-second), not a per-doc Python loop
+    (round-3 VERDICT #5 scale half). The device refresh is stubbed —
+    it is O(index) by design and unchanged by this path."""
+    import time
+
+    eng = SearchEngine(IndexConfig(scoring=ScoringConfig(kind="bm25")))
+    h0 = _synth_hosts(150_000, 8, 20_000, seed=3, doc_base=0)
+    h1 = _synth_hosts(50_000, 8, 20_000, seed=4, doc_base=150_000)
+    eng.segments = [[h0, None], [h1, None]]
+    eng.n_docs_total = 200_000
+    calls = []
+    eng._refresh_stats_and_vals = lambda: calls.append(1)
+    eng._maybe_auto_compact = lambda: None
+    rng = np.random.default_rng(9)
+    gids = rng.choice(200_000, size=50_000, replace=False)
+    t0 = time.perf_counter()
+    eng.delete_docs(gids)
+    dt = time.perf_counter() - t0
+    assert calls == [1]  # exactly one refresh
+    assert dt < 2.0, f"vectorized delete took {dt:.2f}s"
+    assert int(h0.alive.sum()) + int(h1.alive.sum()) == 150_000
+    # exact df accounting: recount from scratch and compare
+    for h in (h0, h1):
+        doc_of = np.repeat(
+            np.arange(h.n_docs), np.diff(h.doc_ptr).astype(np.int64)
+        )
+        mask = h.alive[doc_of]
+        rows = np.searchsorted(h.term_hash, h.doc_hashes[mask])
+        want = np.bincount(rows, minlength=h.n_terms).astype(np.int32)
+        np.testing.assert_array_equal(h.df, want)

@@ -1,0 +1,108 @@
+"""Plan layout cache: the serving jit-signature space must be bounded
+(round-3 VERDICT #1 — one compiled program per traffic shape, not one
+per batch) without changing any result bit."""
+import numpy as np
+
+from document_search_engine_tpu.config import IndexConfig, ScoringConfig
+from document_search_engine_tpu.corpus.synth import synth_corpus, synth_queries
+from document_search_engine_tpu.engine.engine import SearchEngine
+from document_search_engine_tpu.ops.plan_cache import PlanLayoutCache
+
+
+def _natural(counts_by_cell):
+    """Build a natural plan [(idx, nb, blk, rc)] with the given query
+    counts; indices are a disjoint cover of range(total)."""
+    out, off = [], 0
+    for (nb, blk, rc), c in counts_by_cell.items():
+        out.append((np.arange(off, off + c), nb, blk, rc))
+        off += c
+    return out, off
+
+
+def test_layout_converges_and_covers_every_query():
+    cache = PlanLayoutCache()
+    key = ("seg", 0)
+    # batch 1: two stable cells + one noise cell (3 queries)
+    nat1, nq1 = _natural({(8, 2048, 64): 900, (32, 2048, 256): 120,
+                          (64, 2048, 512): 3})
+    cells1 = cache.canonicalize(key, nat1, nq1)
+    assert cache.grows == 1
+    # every query assigned exactly once, inside a dominating cell
+    seen = np.concatenate([c[0] for c in cells1])
+    assert sorted(seen.tolist()) == list(range(nq1))
+    for idx, nb, blk, rc, bq in cells1:
+        assert len(idx) <= bq
+    # the noise cell was folded: no compiled cell is tiny
+    layout = cache._layouts[key]
+    assert all(bq >= 8 for (_nb, _blk, _rc, bq) in layout)
+
+    # batch 2: same shape, slightly different counts -> HIT, no growth
+    nat2, nq2 = _natural({(8, 2048, 64): 930, (32, 2048, 256): 90,
+                          (64, 2048, 512): 4})
+    cells2 = cache.canonicalize(key, nat2, nq2)
+    assert cache.grows == 1 and cache.hits == 1
+    assert tuple((nb, blk, rc, bq) for _i, nb, blk, rc, bq in cells2) == layout
+    seen2 = np.concatenate([c[0] for c in cells2])
+    assert sorted(seen2.tolist()) == list(range(nq2))
+
+    # batch 3: a genuinely new heavy cell -> one growth, then stable
+    nat3, nq3 = _natural({(8, 2048, 64): 900, (128, 2048, 1024): 100})
+    cache.canonicalize(key, nat3, nq3)
+    assert cache.grows == 2
+    cache.canonicalize(key, nat3, nq3)
+    assert cache.grows == 2 and cache.hits == 2
+
+
+def test_overflow_spills_to_dominating_cell():
+    cache = PlanLayoutCache(headroom=1.0)
+    key = "k"
+    nat1, nq1 = _natural({(8, 2048, 64): 64, (16, 2048, 128): 64})
+    cache.canonicalize(key, nat1, nq1)
+    # 80 light queries: 64 fit the exact cell, 16 spill into the
+    # dominating (16, 2048, 128) cell — still a hit, zero growth
+    nat2, nq2 = _natural({(8, 2048, 64): 80, (16, 2048, 128): 30})
+    cells = cache.canonicalize(key, nat2, nq2)
+    assert cache.grows == 1 and cache.hits == 1
+    seen = np.concatenate([c[0] for c in cells])
+    assert sorted(seen.tolist()) == list(range(nq2))
+
+
+def test_engine_results_identical_with_and_without_cache():
+    """The cache only moves queries to larger-budget cells; every
+    result must stay bit-identical, and varied batches must converge
+    to a handful of compiled layouts."""
+    docs = synth_corpus(n_docs=300, vocab_size=800, mean_len=40, seed=31)
+    eng = SearchEngine(IndexConfig(scoring=ScoringConfig(kind="bm25")))
+    eng.build(docs)
+    ref = SearchEngine(IndexConfig(scoring=ScoringConfig(kind="bm25")))
+    ref.plan_cache = None
+    ref.build(docs)
+    rng = np.random.default_rng(5)
+    for b in range(5):
+        queries = synth_queries(docs, n_queries=40, seed=100 + b)
+        # vary query weight so bucket needs differ across batches
+        queries = [
+            " ".join([q] * rng.integers(1, 3)) for q in queries
+        ]
+        ids_a, sc_a = eng.search(queries, k=10)
+        ids_b, sc_b = ref.search(queries, k=10)
+        np.testing.assert_array_equal(ids_a, ids_b)
+        np.testing.assert_array_equal(sc_a, sc_b)
+    assert eng.plan_cache.grows <= 3, eng.plan_cache.stats()
+    assert eng.plan_cache.hits >= 2, eng.plan_cache.stats()
+
+
+def test_engine_warmup_precompiles_serving_layout():
+    docs = synth_corpus(n_docs=200, vocab_size=500, mean_len=30, seed=7)
+    eng = SearchEngine(IndexConfig(scoring=ScoringConfig(kind="bm25")))
+    eng.build(docs)
+    eng.warmup(nq=64, k=10, terms_per_query=4)
+    grows0 = eng.plan_cache.grows
+    assert grows0 >= 1
+    # real traffic of the same shape mostly reuses the warmed layout
+    queries = synth_queries(docs, n_queries=64, seed=8)
+    ids, _ = eng.search(queries, k=10)
+    assert ids.shape == (64, 10)
+    assert eng.plan_cache.grows <= grows0 + 1
+    # warmup on an empty engine is a no-op
+    SearchEngine(IndexConfig()).warmup(nq=8, k=5)

@@ -145,3 +145,57 @@ def test_engine_search_rerank_end_to_end():
     eng2.add_docs(docs[:3])
     ids4, ri4, _ = eng2.search_rerank(queries, k=10, candidates=32)
     np.testing.assert_array_equal(ids4, ids3)
+
+
+def test_search_rerank_single_frontend_pass():
+    """search_rerank runs ONE frontend analysis per call (round-3
+    VERDICT #6: candidate gen + rerank each analyzed the batch), for
+    both engines, with results unchanged."""
+    from document_search_engine_tpu.parallel.dist import (
+        DistributedSearchEngine,
+    )
+    from document_search_engine_tpu.parallel.mesh import make_mesh
+
+    docs = synth_corpus(n_docs=60, vocab_size=300, mean_len=25, seed=23)
+    queries = synth_queries(docs, n_queries=5, seed=24)
+
+    def counted(frontend):
+        calls = {"rows": 0, "analyze": 0}
+        orig_rows = frontend.analyze_rows
+        orig_an = frontend.analyze
+
+        def rows(q, stats):
+            calls["rows"] += 1
+            return orig_rows(q, stats)
+
+        def an(q, stats):
+            calls["analyze"] += 1
+            return orig_an(q, stats)
+
+        frontend.analyze_rows = rows
+        frontend.analyze = an
+        return calls
+
+    eng = SearchEngine(IndexConfig(scoring=ScoringConfig(kind="bm25")))
+    eng.build(docs)
+    ref = eng.search_rerank(queries, k=8, candidates=16)
+    calls = counted(eng.frontend)
+    got = eng.search_rerank(queries, k=8, candidates=16)
+    assert calls["rows"] == 1 and calls["analyze"] == 0
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(a, b)
+
+    deng = DistributedSearchEngine(
+        IndexConfig(scoring=ScoringConfig(kind="bm25")),
+        mesh=make_mesh(2),
+    )
+    deng.build(docs)
+    dref = deng.search_rerank(queries, k=8, candidates=16)
+    dcalls = counted(deng.frontend)
+    dgot = deng.search_rerank(queries, k=8, candidates=16)
+    assert dcalls["rows"] == 1 and dcalls["analyze"] == 0
+    for a, b in zip(dref, dgot):
+        np.testing.assert_array_equal(a, b)
+    # sharded == single engine (the existing bit-parity contract)
+    for a, b in zip(ref, dref):
+        np.testing.assert_array_equal(a, b)
