@@ -365,15 +365,9 @@ def main():
     enable_persistent_cache()
     import jax
 
-    # the axon sitecustomize force-sets jax_platforms to "axon,cpu",
-    # overriding a JAX_PLATFORMS=cpu smoke-run request — restore the
-    # env's intent (same fix as __graft_entry__ / tests/conftest.py)
-    env_plat = os.environ.get("JAX_PLATFORMS", "")
-    if env_plat and str(jax.config.jax_platforms) != env_plat:
-        try:
-            jax.config.update("jax_platforms", env_plat)
-        except Exception:
-            pass
+    from document_search_engine_tpu.utils.cache import apply_env_platform
+
+    apply_env_platform()
 
     from document_search_engine_tpu.config import IndexConfig, ScoringConfig
 
@@ -510,6 +504,12 @@ def main():
 
     c_files0, c_bytes0 = cache_snapshot()
     t0 = time.perf_counter()
+    # host-only: converge the plan layout over ALL warmup batches first,
+    # so the stream below compiles/uploads exactly ONE program instead
+    # of one per layout generation (each ~20 MB through the tunnel)
+    eng.preplan(batches, k=k)
+    log(f"preplan (host-only, {n_batches} batches): "
+        f"{time.perf_counter()-t0:.1f}s; {eng.plan_cache.stats()}")
     for _ids, _sc in eng.search_stream(iter(batches), k=k, depth=depth):
         pass
     t_warm = time.perf_counter() - t0
@@ -627,6 +627,7 @@ def main():
     if os.environ.get("BENCH_SHARDS", "1" if on_tpu else "0") == "1":
         deng = sharded_from_engine(eng, cfg)
         t0 = time.perf_counter()
+        deng.preplan(batches, k=k)
         sh_first = None
         for _ids, _sc in deng.search_stream(
             iter(batches), k=k, depth=depth

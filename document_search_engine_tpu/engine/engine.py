@@ -645,6 +645,69 @@ class SearchEngine:
         found_g[:, :tpq] = True
         self._collect(self._dispatch(slot_h, coeff, k, rows_g, found_g))
 
+    def _plan_key(self, si, host, s, k, mode, families):
+        """Plan-layout cache key: everything static about the compiled
+        program besides the bucket grid itself. preplan() and _dispatch
+        MUST build identical keys or seeding is wasted."""
+        return (
+            si, host.n_docs, host.n_terms, s, k, mode,
+            families, self.plan_min_blocks,
+        )
+
+    def _seg_rows_global(self):
+        """Per-segment flag: this segment's term table IS the global
+        vocabulary (the frontend's rows_g/found_g apply directly).
+        Computed lazily so every construction path benefits."""
+        seg_global = getattr(self, "_rows_global", None)
+        if seg_global is None or len(seg_global) != len(self.segments):
+            seg_global = self._rows_global = [
+                np.array_equal(h.term_hash, self.stats.vocab)
+                for h, _ in self.segments
+            ]
+        return seg_global
+
+    def preplan(self, query_batches, k: int = 10) -> None:
+        """Host-only: converge the plan-layout cache over representative
+        query batches BEFORE the first dispatch (pure numpy — no device
+        work, no compiles). Serving then compiles ONE program per
+        traffic shape instead of one per layout generation; on the dev
+        tunnel each extra generation costs ~a minute of executable
+        upload. Call with recorded traffic at process start; warmup()
+        (or the first real batch) compiles the converged layout."""
+        if self.plan_cache is None or not self.segments:
+            return
+        mode = self.scorer_mode
+        families = self.block_families or (
+            FUSED_FAMILIES if mode == "fused" else DEFAULT_FAMILIES
+        )
+        per_key: dict = {}
+        for queries in query_batches:
+            slot_h, coeff, rows_g, found_g = self.frontend.analyze_rows(
+                queries, self.stats
+            )
+            n_slots = slot_h.shape[1]
+            slot_h, coeff = slice_active_slots(slot_h, coeff)
+            nq, s = coeff.shape
+            if rows_g is not None and s != n_slots:
+                rows_g, found_g = rows_g[:, :s], found_g[:, :s]
+            seg_global = self._seg_rows_global()
+            for si, (host, _device) in enumerate(self.segments):
+                if rows_g is not None and seg_global[si]:
+                    rows, found = rows_g, found_g
+                else:
+                    rows, found = segment_rows(host.term_hash, slot_h)
+                natural = plan_batch(
+                    host.indptr, rows, found, families=families,
+                    min_blocks=self.plan_min_blocks,
+                    compact=(mode == "fused" and k <= 128),
+                )
+                key = self._plan_key(si, host, s, k, mode, families)
+                ent = per_key.setdefault(key, [0, []])
+                ent[0] = max(ent[0], nq)
+                ent[1].append(natural)
+        for key, (nq, naturals) in per_key.items():
+            self.plan_cache.seed_plans(key, naturals, nq)
+
     def _dispatch(self, slot_h, coeff, k: int, rows_g=None, found_g=None):
         """Host planning + ONE fused device dispatch for a query batch.
 
@@ -680,12 +743,7 @@ class SearchEngine:
         # computed lazily so every construction path benefits (the
         # checkpoint load path sets stats/segments directly without a
         # refresh — review finding)
-        seg_global = getattr(self, "_rows_global", None)
-        if seg_global is None or len(seg_global) != len(self.segments):
-            seg_global = self._rows_global = [
-                np.array_equal(h.term_hash, self.stats.vocab)
-                for h, _ in self.segments
-            ]
+        seg_global = self._seg_rows_global()
         for si, (host, device) in enumerate(self.segments):
             if rows_g is not None and seg_global[si]:
                 rows, found = rows_g, found_g
@@ -700,10 +758,7 @@ class SearchEngine:
                 compact=(mode == "fused" and k <= 128),
             )
             if self.plan_cache is not None:
-                key = (
-                    si, host.n_docs, host.n_terms, s, k, mode,
-                    families, self.plan_min_blocks,
-                )
+                key = self._plan_key(si, host, s, k, mode, families)
                 cells = self.plan_cache.canonicalize(key, natural, nq)
             else:
                 cells = [

@@ -96,8 +96,18 @@ class PlanLayoutCache:
     docstring). One instance per engine; keys identify everything else
     static about the program (segment geometry, s, k, scorer mode)."""
 
-    def __init__(self, headroom: float = 1.25, min_cell_frac: float = 1 / 64):
-        self.headroom = headroom
+    def __init__(
+        self, boundary_frac: float = 15 / 16, min_cell_frac: float = 1 / 64
+    ):
+        # capacity rule: a cell's pow-2 capacity is the demand's own
+        # pow-2 ceiling — IDENTICAL to the natural plan's padding, so a
+        # converged layout runs at natural-plan device cost. Only when
+        # demand sits within (1 - boundary_frac) of the boundary does
+        # the next pow-2 absorb sampling flap. (The first cut multiplied
+        # demand by 1.25 BEFORE pow-2 rounding; a 3300-query cell
+        # rounded 4125 -> 8192 and the driver-measured device step
+        # regressed 81.7 -> 115 ms: +38% rank capacity, BENCH_r04.)
+        self.boundary_frac = boundary_frac
         self.min_cell_frac = min_cell_frac
         self._layouts: dict = {}  # key -> tuple[(nb, blk, rc, bq), ...]
         self.hits = 0
@@ -175,14 +185,51 @@ class PlanLayoutCache:
             # capacity floor of 8: a top cell that cannot fold upward
             # (the heaviest queries) keeps slack so count wiggles in
             # later batches do not recompile the layout
-            need = _pow2_at_least(
-                int(np.ceil(count * self.headroom)), lo=8
-            )
+            need = _pow2_at_least(count, lo=8)
+            if count > need * self.boundary_frac:
+                need *= 2  # demand flush with the boundary: absorb flap
             cells[(nb, blk, rc)] = max(cells.get((nb, blk, rc), 0), need)
         return tuple(
             (nb, blk, rc, bq)
             for (nb, blk, rc), bq in sorted(cells.items())
         )
+
+    def seed_plans(self, key, naturals, nq: int) -> None:
+        """Converge the layout for `key` over SEVERAL batches' natural
+        plans in one growth, before anything compiles.
+
+        Serving cold-start is dominated by shipping compiled executables
+        to the device (one ~20 MB program per layout GENERATION on the
+        dev tunnel), so growing batch-by-batch during warmup pays for
+        every intermediate generation. Seeding computes each shape's
+        max per-batch demand across `naturals` (host-only numpy) and
+        grows once: the first dispatch compiles the final layout and
+        every subsequent batch of the same traffic hits it."""
+        # sequential fit-then-grow, exactly the serving path's policy but
+        # with no compile between generations. (Sizing each cell to its
+        # max demand across batches instead overshoots ~17%: a query is
+        # in exactly one cell, so per-cell counts anti-correlate and the
+        # union-of-maxima grid exceeds any single batch's total.)
+        layout = self._layouts.get(key)
+        for natural in naturals:
+            nat = [
+                (np.asarray(idx), int(nb), int(blk), int(rc))
+                for idx, nb, blk, rc in natural
+            ]
+            if layout is not None:
+                assignments, _fail = _fit(layout, nat)
+                if assignments is not None:
+                    continue
+            layout = self._grow(layout, nat, nq)
+            for _ in range(64):
+                assignments, fail = _fit(layout, nat)
+                if assignments is not None:
+                    break
+                layout = _bump(layout, *fail)
+            assert assignments is not None, "seed layout failed to fit"
+        if layout is not None and layout != self._layouts.get(key):
+            self._layouts[key] = layout
+            self.grows += 1
 
 
 def _bump(layout, nb: int, blk: int, rc: int):

@@ -1014,6 +1014,56 @@ class DistributedSearchEngine:
             query_batches, depth, analyze_job, dispatch_job
         )
 
+    def _plan_key(self, s, k, mode):
+        """Plan-layout cache key (see SearchEngine._plan_key): must be
+        identical between preplan() and _dispatch()."""
+        idx = self.index
+        return (
+            idx.n_shards, idx.d_pad, idx.t_pad,
+            int(idx.post_doc.shape[1]), s, k, mode,
+            self.plan_min_blocks,
+        )
+
+    def preplan(self, query_batches, k: int = 10) -> None:
+        """Host-only: converge the plan-layout cache over representative
+        batches before the first SPMD dispatch (see
+        SearchEngine.preplan) — one compiled program per traffic shape
+        instead of one per layout generation."""
+        from ..engine.engine import slice_active_slots
+
+        if self.plan_cache is None or self.index is None:
+            return
+        idx = self.index
+        mode = self.scorer_mode
+        families = (
+            FUSED_FAMILIES if mode == "fused" else DEFAULT_FAMILIES
+        )
+        per_key: dict = {}
+        for queries in query_batches:
+            slot_h, coeff, rows, found = self.frontend.analyze_rows(
+                queries, idx.stats
+            )
+            nq = len(queries)
+            n_slots = slot_h.shape[1]
+            slot_h, coeff = slice_active_slots(slot_h, coeff)
+            s = slot_h.shape[1]
+            if s != n_slots:
+                rows, found = rows[:, :s], found[:, :s]
+            lens_sh = (
+                idx.indptr_g[:, rows + 1] - idx.indptr_g[:, rows]
+            ) * found[None]
+            natural = plan_batch_sharded(
+                lens_sh, families=families,
+                min_blocks=self.plan_min_blocks,
+                compact=(mode == "fused" and k <= 128),
+            )
+            key = self._plan_key(s, k, mode)
+            ent = per_key.setdefault(key, [0, []])
+            ent[0] = max(ent[0], nq)
+            ent[1].append(natural)
+        for key, (nq, naturals) in per_key.items():
+            self.plan_cache.seed_plans(key, naturals, nq)
+
     def _dispatch(self, queries, k: int, analyzed=None):
         """Host planning + ONE fused SPMD dispatch for a query batch.
 
@@ -1055,11 +1105,7 @@ class DistributedSearchEngine:
             compact=(mode == "fused" and k <= 128),
         )
         if self.plan_cache is not None:
-            key = (
-                idx.n_shards, idx.d_pad, idx.t_pad,
-                int(idx.post_doc.shape[1]), s, k, mode,
-                self.plan_min_blocks,
-            )
+            key = self._plan_key(s, k, mode)
             cells = self.plan_cache.canonicalize(key, natural, nq)
         else:
             cells = [

@@ -1,0 +1,174 @@
+"""Device-step A/B harness for kernel levers that need NO kernel-file
+edit (editing ops/fused_pallas.py changes Mosaic debug info -> new
+persistent-cache keys -> ~30 min of recompiles through the dev tunnel;
+module-global monkeypatches + jax.clear_caches() only ADD new variants
+while the baseline's stay cached).
+
+Levers wired (pick with STEP_AB=comma list, default all):
+  depth8   — fused_pallas.DEPTH = 8 (more DMA pairs in flight; the
+             roofline probe shows the DMA phase transaction-bound at
+             ~128 ns/DMA, 8%% of HBM bandwidth)
+  block4096— uniform 4096 block family (half the DMA transactions at
+             2x the bytes each; bandwidth headroom is ~12x)
+  depth8_block4096 — both.
+
+Method: exactly bench.py's "device step only" protocol — capture the
+staged _batch_step args from one real dispatch, then time `iters`
+pipelined executions with full readback. Each variant re-captures (its
+plan/kernels differ) after jax.clear_caches() so the monkeypatched
+constant is re-traced. Results print ms/batch and q/s vs baseline.
+
+Run AFTER bench.py (shares the chip): python tools/step_ab.py
+Env: AB_DOCS (1M), AB_NQ (8192), AB_ITERS (24), AB_DEPTH (8 pipeline).
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+from collections import deque
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from document_search_engine_tpu.utils.cache import enable_persistent_cache
+
+
+def log(msg):
+    print(msg, flush=True)
+
+
+def capture_step_args(eng, pre, k):
+    from document_search_engine_tpu.engine import engine as engine_mod
+
+    captured = {}
+    real_step = engine_mod._batch_step
+    orig = real_step
+
+    def capture(*args, **kw):
+        captured["args"], captured["kw"] = args, kw
+        return orig(*args, **kw)
+
+    engine_mod._batch_step = capture
+    try:
+        fut = eng._dispatch(*pre, k)
+        _ = eng._collect(fut)
+    finally:
+        engine_mod._batch_step = real_step
+    return captured["args"], captured["kw"]
+
+
+def time_step(args, kw, iters, depth, nq):
+    from document_search_engine_tpu.engine import engine as engine_mod
+
+    # warm (compile/load) outside the timed region
+    _ = np.asarray(engine_mod._batch_step(*args, **kw))
+    best = float("inf")
+    for _p in range(2):
+        t0 = time.perf_counter()
+        inflight = deque()
+        for _i in range(iters):
+            inflight.append(engine_mod._batch_step(*args, **kw))
+            if len(inflight) >= depth:
+                _ = np.asarray(inflight.popleft())
+        while inflight:
+            _ = np.asarray(inflight.popleft())
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
+
+
+
+def _fresh_plan_cache(eng):
+    from document_search_engine_tpu.ops.plan_cache import PlanLayoutCache
+
+    eng.plan_cache = PlanLayoutCache()
+
+
+def main():
+    enable_persistent_cache()
+    import jax
+
+    from document_search_engine_tpu.utils.cache import apply_env_platform
+
+    apply_env_platform()
+
+    from document_search_engine_tpu.config import IndexConfig, ScoringConfig
+    from document_search_engine_tpu.ops import fused_pallas
+
+    import bench as B
+
+    n_docs = int(os.environ.get("AB_DOCS", 1_000_000))
+    vocab = int(os.environ.get("AB_VOCAB", 200_000))
+    nq = int(os.environ.get("AB_NQ", 8192))
+    tpq = int(os.environ.get("AB_TPQ", 8))
+    iters = int(os.environ.get("AB_ITERS", 24))
+    depth = int(os.environ.get("AB_DEPTH", 8))
+    k = 10
+    levers = os.environ.get(
+        "STEP_AB", "depth8,block4096,depth8_block4096"
+    ).split(",")
+
+    cfg = IndexConfig(scoring=ScoringConfig(kind="bm25"))
+    log(f"platform: {jax.devices()[0].platform} x{len(jax.devices())}")
+    eng, df_by_row, tokens_by_row = B.build_synth_engine(
+        n_docs, vocab, 60, cfg, seed=1
+    )
+    eng.scorer = "fused"
+
+    rng = np.random.default_rng(7)
+    eligible = np.where((df_by_row >= 64) & (df_by_row <= 32768))[0]
+    rows = rng.choice(eligible, size=(nq, tpq))
+    batch = [" ".join(tokens_by_row[r] for r in qr) for qr in rows]
+    pre = eng.frontend.analyze(batch, eng.stats)
+
+    results = {}
+
+    def run(name):
+        args, kw = capture_step_args(eng, pre, k)
+        ms = time_step(args, kw, iters, depth, nq) * 1e3
+        results[name] = ms
+        base = results.get("baseline")
+        rel = f" ({(base/ms-1)*+100:+.1f}% vs baseline)" if base else ""
+        log(f"{name}: {ms:.2f} ms/batch -> {nq/ms*1e3:,.0f} q/s{rel}")
+
+    t0 = time.perf_counter()
+    run("baseline")
+    log(f"[baseline total incl. warm {time.perf_counter()-t0:.0f}s]")
+
+    if "depth8" in levers:
+        fused_pallas.DEPTH = 8
+        jax.clear_caches()
+        t0 = time.perf_counter()
+        run("DEPTH=8")
+        log(f"[variant total incl. compile {time.perf_counter()-t0:.0f}s]")
+        fused_pallas.DEPTH = 4
+        jax.clear_caches()
+
+    if "block4096" in levers:
+        eng.block_families = ((None, 4096),)
+        _fresh_plan_cache(eng)
+        t0 = time.perf_counter()
+        run("block=4096")
+        log(f"[variant total incl. compile {time.perf_counter()-t0:.0f}s]")
+        eng.block_families = None
+        _fresh_plan_cache(eng)
+
+    if "depth8_block4096" in levers:
+        fused_pallas.DEPTH = 8
+        eng.block_families = ((None, 4096),)
+        _fresh_plan_cache(eng)
+        jax.clear_caches()
+        t0 = time.perf_counter()
+        run("DEPTH=8 + block=4096")
+        log(f"[variant total incl. compile {time.perf_counter()-t0:.0f}s]")
+        fused_pallas.DEPTH = 4
+        eng.block_families = None
+        _fresh_plan_cache(eng)
+        jax.clear_caches()
+
+    log(f"results: { {kk: round(v, 2) for kk, v in results.items()} }")
+
+
+if __name__ == "__main__":
+    main()
