@@ -89,7 +89,9 @@ def analyze_texts_fast(texts, config: IndexConfig) -> AnalyzedDocs:
     if not native.available() or not native.config_supported(config.analyzer):
         return analyze_texts(texts, config)
     n = len(texts)
-    ascii_all = all(t.isascii() for t in texts)
+    # ONE C-speed pass over the concatenated bytes: the per-string
+    # genexpr cost ~3.2 ms of a 14 ms 8192-query analysis (profiled)
+    ascii_all = ("".join(texts)).isascii() if texts else True
     if ascii_all:
         hashes, tfs, doc_ptr, dl = native.analyze_batch_ascii(
             texts, config.analyzer
