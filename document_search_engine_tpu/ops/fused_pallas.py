@@ -37,7 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .rank_pallas import LANES, merge_rank_body
 
-DEPTH = 4  # DMA block pairs in flight per program
+DEPTH = 8  # DMA block pairs in flight per program (A/B'd: +4% step)
 
 # Candidate-buffer compaction granularity, in 128-lane rows. DMA blocks
 # stay large (few big HBM reads), but each block's REAL postings are

@@ -35,6 +35,11 @@ from __future__ import annotations
 import numpy as np
 
 
+# capacity granule: every cell capacity is a multiple of this, so the
+# kernel's query stacking (pick_stack, max 16-way) always divides it
+GRANULE = 16
+
+
 def _pow2_at_least(n: int, lo: int = 1) -> int:
     n = max(n, lo)
     return 1 << int(np.ceil(np.log2(n)))
@@ -97,17 +102,20 @@ class PlanLayoutCache:
     static about the program (segment geometry, s, k, scorer mode)."""
 
     def __init__(
-        self, boundary_frac: float = 15 / 16, min_cell_frac: float = 1 / 64
+        self, headroom: float = 1.05, min_cell_frac: float = 1 / 64
     ):
-        # capacity rule: a cell's pow-2 capacity is the demand's own
-        # pow-2 ceiling — IDENTICAL to the natural plan's padding, so a
-        # converged layout runs at natural-plan device cost. Only when
-        # demand sits within (1 - boundary_frac) of the boundary does
-        # the next pow-2 absorb sampling flap. (The first cut multiplied
-        # demand by 1.25 BEFORE pow-2 rounding; a 3300-query cell
-        # rounded 4125 -> 8192 and the driver-measured device step
-        # regressed 81.7 -> 115 ms: +38% rank capacity, BENCH_r04.)
-        self.boundary_frac = boundary_frac
+        # capacity rule: demand * headroom rounded up to GRANULE. The
+        # layout itself is the jit signature, so capacities need NOT be
+        # pow-2 like the natural per-batch plans — granule-16 capacities
+        # measure 14% less rank work than the natural pow-2 padding on
+        # bench traffic at the SAME layout-growth rate (3 grows / 56
+        # batches), because a 3300-query cell gets 3472 slots instead
+        # of 4096. (The first cut multiplied demand by 1.25 before
+        # pow-2 rounding; 3300 rounded 4125 -> 8192 and the
+        # driver-measured device step regressed 81.7 -> 115 ms.)
+        # GRANULE=16 keeps every capacity divisible by the kernel's
+        # maximum q_stack, so query stacking is unaffected.
+        self.headroom = headroom
         self.min_cell_frac = min_cell_frac
         self._layouts: dict = {}  # key -> tuple[(nb, blk, rc, bq), ...]
         self.hits = 0
@@ -182,12 +190,11 @@ class PlanLayoutCache:
                 demand[doms[0]] += demand.pop(k)
         cells = {(nb, blk, rc): bq for nb, blk, rc, bq in (old or ())}
         for (nb, blk, rc), count in demand.items():
-            # capacity floor of 8: a top cell that cannot fold upward
-            # (the heaviest queries) keeps slack so count wiggles in
-            # later batches do not recompile the layout
-            need = _pow2_at_least(count, lo=8)
-            if count > need * self.boundary_frac:
-                need *= 2  # demand flush with the boundary: absorb flap
+            # headroom absorbs the per-batch sampling flap (measured
+            # ~±5% per cell on bench traffic); GRANULE keeps q_stack
+            # divisibility; floor 16 so noise cells stay stackable
+            need = -(-max(int(count * self.headroom), 16) // GRANULE)
+            need *= GRANULE
             cells[(nb, blk, rc)] = max(cells.get((nb, blk, rc), 0), need)
         return tuple(
             (nb, blk, rc, bq)
@@ -233,8 +240,8 @@ class PlanLayoutCache:
 
 
 def _bump(layout, nb: int, blk: int, rc: int):
-    """Double the capacity of the smallest cell dominating (nb, blk,
-    rc), or add an exact cell if none exists."""
+    """Grow the smallest cell dominating (nb, blk, rc) by ~1/8 of its
+    capacity (granule-rounded), or add an exact cell if none exists."""
     cand = sorted(
         ci
         for ci, cell in enumerate(layout)
@@ -243,7 +250,8 @@ def _bump(layout, nb: int, blk: int, rc: int):
     cells = list(layout)
     if cand:
         c_nb, c_blk, c_rc, bq = cells[cand[0]]
-        cells[cand[0]] = (c_nb, c_blk, c_rc, bq * 2)
+        step = max(GRANULE, bq // 8 // GRANULE * GRANULE)
+        cells[cand[0]] = (c_nb, c_blk, c_rc, bq + step)
     else:
-        cells.append((nb, blk, rc, 8))
+        cells.append((nb, blk, rc, 16))
     return tuple(sorted(cells))

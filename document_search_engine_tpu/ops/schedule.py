@@ -49,8 +49,12 @@ DEFAULT_FAMILIES = ((8192, 256), (None, 1024))
 # The fused Pallas kernel prefers fewer, larger DMAs and fewer merge
 # levels over padding savings: round-2 bench measured uniform 2048 at
 # 51.7k qps vs 47.6k (1024) and 30.6k (the mixed 256/1024 split) on the
-# 1M-doc Zipf index. Used when the serving step runs the fused kernel.
-FUSED_FAMILIES = ((None, 2048),)
+# 1M-doc Zipf index. Round-4 roofline showed the DMA phase is
+# TRANSACTION-bound (~128 ns/DMA at 8% of HBM bandwidth), so 4096
+# halves the transactions for 2x the bytes: device step 89.5 -> 82.2
+# ms/8192 alone, 79.2 with DEPTH=8 (tools/step_ab.py). 4096 ==
+# NNZ_SLICE_MARGIN, the largest legal block.
+FUSED_FAMILIES = ((None, 4096),)
 
 
 def compact_rows_per_query(lens: np.ndarray, block: int) -> np.ndarray:

@@ -592,8 +592,11 @@ def _sharded_batch_step(
         check_vma=False,
     )(post_doc, post_val, doc_base, indptr_g, row_start_g, rows_cat,
       cbits_cat)
-    # (n_shards, nq, k) of identical replicas -> one copy.
-    return vals_all[0], gids_all[0]
+    # (n_shards, nq, k) of identical replicas -> one copy, stacked as
+    # ONE (nq, 2k) output so the caller forces a SINGLE D2H read (the
+    # tunnel serializes transfers at ~15+ ms each; two reads per batch
+    # measured as most of the 1-shard SPMD overhead vs SearchEngine).
+    return jnp.concatenate([vals_all[0], gids_all[0]], axis=1)
 
 
 @partial(jax.jit, static_argnames=("mesh_", "interpret"))
@@ -1125,7 +1128,7 @@ class DistributedSearchEngine:
             a_subs.append(a_sub)
             buckets.append((n_blocks, block, bq, r_c))
             idxs.append((idx_q, bq))
-        vals, gids = _sharded_batch_step(
+        out = _sharded_batch_step(
             idx.post_doc,
             idx.post_val,
             idx.doc_base,
@@ -1146,16 +1149,16 @@ class DistributedSearchEngine:
             interpret=(self.mesh.devices.flat[0].platform != "tpu"),
             mesh_=self.mesh,
         )
-        return vals, gids, idxs, nq, k
+        return out, idxs, nq, k
 
     def _collect(self, fut):
-        vals, gids, idxs, nq, k = fut
+        out, idxs, nq, k = fut
         out_g = np.full((nq, k), -1, np.int64)
         out_v = np.full((nq, k), -1, np.int64)
-        gids_h, vals_h = np.asarray(gids), np.asarray(vals)
+        host = np.asarray(out)  # ONE D2H per batch (vals | gids stacked)
         off = 0
         for idx_q, bq in idxs:
-            out_g[idx_q] = gids_h[off : off + len(idx_q)]
-            out_v[idx_q] = vals_h[off : off + len(idx_q)]
+            out_v[idx_q] = host[off : off + len(idx_q), :k]
+            out_g[idx_q] = host[off : off + len(idx_q), k:]
             off += bq
         return out_g, out_v

@@ -54,7 +54,7 @@ def test_layout_converges_and_covers_every_query():
 
 
 def test_overflow_spills_to_dominating_cell():
-    cache = PlanLayoutCache(boundary_frac=1.0)
+    cache = PlanLayoutCache(headroom=1.0)
     key = "k"
     nat1, nq1 = _natural({(8, 2048, 64): 64, (16, 2048, 128): 64})
     cache.canonicalize(key, nat1, nq1)
