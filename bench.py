@@ -404,6 +404,25 @@ def main():
         )
 
         bd = synth_corpus(n_docs=20000, vocab_size=30000, mean_len=120, seed=5)
+        # warm the lazy imports + numpy first-call paths on a tiny
+        # segment so the timed region measures the steady-state pack
+        # (the r04 bench caught ~10 s of one-time pallas import and
+        # cold-path cost inside the timed region: 1,752 "docs/s" where
+        # the warm pack runs ~40k docs/s)
+        _w = _builder.analyze_texts_fast(bd[:200], cfg)
+        _hw = _builder.build_host_segment(_w, 0)
+        _stw = _GS(
+            vocab=_hw.term_hash, df=_hw.df.copy(), n_alive=_hw.n_docs,
+            total_len_alive=int(_w.dl.sum()),
+        )
+        _rsw, _xrw = _builder.aligned_geometry(_hw.indptr, cfg.nnz_pad_to)
+        _hw.row_start = _rsw
+        _vw, _ = _builder.segment_vals(_hw, cfg, _stw)
+        _builder._host_planes(
+            _hw.post_doc, _vw, _hw.post_tf, _hw.indptr, _rsw, _xrw,
+            _hw.n_docs,
+        )
+        del _w, _hw, _stw, _rsw, _xrw, _vw
         t0 = time.perf_counter()
         _a = _builder.analyze_texts_fast(bd, cfg)
         t_an = time.perf_counter() - t0

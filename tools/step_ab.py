@@ -4,13 +4,19 @@ persistent-cache keys -> ~30 min of recompiles through the dev tunnel;
 module-global monkeypatches + jax.clear_caches() only ADD new variants
 while the baseline's stay cached).
 
-Levers wired (pick with STEP_AB=comma list, default all):
-  depth8   — fused_pallas.DEPTH = 8 (more DMA pairs in flight; the
-             roofline probe shows the DMA phase transaction-bound at
-             ~128 ns/DMA, 8%% of HBM bandwidth)
-  block4096— uniform 4096 block family (half the DMA transactions at
-             2x the bytes each; bandwidth headroom is ~12x)
-  depth8_block4096 — both.
+Levers wired (pick with STEP_AB=comma list; each entry overrides
+module/engine knobs relative to the CURRENT committed defaults, so the
+"baseline" row is whatever ops/fused_pallas.py + ops/schedule.py ship):
+  depth8 / depth16 / depth4 — fused_pallas.DEPTH (DMA pairs in flight;
+             the roofline probe shows the DMA phase transaction-bound
+             at ~128 ns/DMA, 8%% of HBM bandwidth)
+  block4096 / block2048 — uniform block family (fewer DMA transactions
+             at more bytes each; bandwidth headroom is ~12x)
+  stack32  — MAX_STACK=32 + STACK_ROWS_BUDGET=4096 (more queries per
+             program's region-parallel rank pipeline; re-test at every
+             DMA-constant change — the r03 measurement was at
+             DEPTH=4/block=2048)
+  combos: join with '+', e.g. depth16+stack32.
 
 Method: exactly bench.py's "device step only" protocol — capture the
 staged _batch_step args from one real dispatch, then time `iters`
@@ -105,9 +111,7 @@ def main():
     iters = int(os.environ.get("AB_ITERS", 24))
     depth = int(os.environ.get("AB_DEPTH", 8))
     k = 10
-    levers = os.environ.get(
-        "STEP_AB", "depth8,block4096,depth8_block4096"
-    ).split(",")
+    levers = os.environ.get("STEP_AB", "depth16,stack32").split(",")
 
     cfg = IndexConfig(scoring=ScoringConfig(kind="bm25"))
     log(f"platform: {jax.devices()[0].platform} x{len(jax.devices())}")
@@ -132,38 +136,45 @@ def main():
         rel = f" ({(base/ms-1)*+100:+.1f}% vs baseline)" if base else ""
         log(f"{name}: {ms:.2f} ms/batch -> {nq/ms*1e3:,.0f} q/s{rel}")
 
+    # knob registry: name -> (apply, restore) closures over the module
+    # globals / engine fields; defaults snapshot the committed values
+    DEF = dict(
+        depth=fused_pallas.DEPTH,
+        max_stack=fused_pallas.MAX_STACK,
+        budget=fused_pallas.STACK_ROWS_BUDGET,
+        families=None,
+    )
+
+    def apply(name):
+        for part in name.split("+"):
+            if part.startswith("depth"):
+                fused_pallas.DEPTH = int(part[5:])
+            elif part.startswith("block"):
+                eng.block_families = ((None, int(part[5:])),)
+            elif part == "stack32":
+                fused_pallas.MAX_STACK = 32
+                fused_pallas.STACK_ROWS_BUDGET = 4096
+            else:
+                raise SystemExit(f"unknown lever {part!r}")
+
+    def restore():
+        fused_pallas.DEPTH = DEF["depth"]
+        fused_pallas.MAX_STACK = DEF["max_stack"]
+        fused_pallas.STACK_ROWS_BUDGET = DEF["budget"]
+        eng.block_families = DEF["families"]
+
     t0 = time.perf_counter()
     run("baseline")
     log(f"[baseline total incl. warm {time.perf_counter()-t0:.0f}s]")
 
-    if "depth8" in levers:
-        fused_pallas.DEPTH = 8
-        jax.clear_caches()
-        t0 = time.perf_counter()
-        run("DEPTH=8")
-        log(f"[variant total incl. compile {time.perf_counter()-t0:.0f}s]")
-        fused_pallas.DEPTH = 4
-        jax.clear_caches()
-
-    if "block4096" in levers:
-        eng.block_families = ((None, 4096),)
-        _fresh_plan_cache(eng)
-        t0 = time.perf_counter()
-        run("block=4096")
-        log(f"[variant total incl. compile {time.perf_counter()-t0:.0f}s]")
-        eng.block_families = None
-        _fresh_plan_cache(eng)
-
-    if "depth8_block4096" in levers:
-        fused_pallas.DEPTH = 8
-        eng.block_families = ((None, 4096),)
+    for name in levers:
+        apply(name)
         _fresh_plan_cache(eng)
         jax.clear_caches()
         t0 = time.perf_counter()
-        run("DEPTH=8 + block=4096")
+        run(name)
         log(f"[variant total incl. compile {time.perf_counter()-t0:.0f}s]")
-        fused_pallas.DEPTH = 4
-        eng.block_families = None
+        restore()
         _fresh_plan_cache(eng)
         jax.clear_caches()
 
