@@ -84,28 +84,53 @@ def _batch_step(
                 n_blocks, block,
             )
             # the kernel returns top-k in one lane vector (k <= 128);
-            # larger k falls back to the bit-identical XLA twin
-            if mode == "fused" and k <= 128:
+            # larger k falls back to the bit-identical XLA twin (the
+            # dispatcher downgrades fused_dv to fused first, so the
+            # dv-plane tuple never reaches the twin)
+            if mode in ("fused", "fused_dv") and k <= 128:
                 from ..ops.fused_pallas import pick_stack
 
-                v, dloc = fused_search_pallas(
-                    post_docs[si],
-                    post_vals[si],
-                    sr,
-                    rm,
-                    ab,
-                    dst,
-                    n_blocks=n_blocks,
-                    block=block,
-                    s=s,
-                    k=k,
-                    n_docs=n_docs,
-                    scale=scale,
-                    clip=clip,
-                    r_c=r_c,
-                    q_stack=pick_stack(bq, r_c),
-                    interpret=interpret,
-                )
+                if mode == "fused_dv":
+                    # post_docs carries the (X, 256) interleaved doc|val
+                    # planes (ops/fused_dv.py): ONE DMA per block
+                    from ..ops.fused_dv import fused_search_dv_pallas
+
+                    v, dloc = fused_search_dv_pallas(
+                        post_docs[si],
+                        sr,
+                        rm,
+                        ab,
+                        dst,
+                        n_blocks=n_blocks,
+                        block=block,
+                        s=s,
+                        k=k,
+                        n_docs=n_docs,
+                        scale=scale,
+                        clip=clip,
+                        r_c=r_c,
+                        q_stack=pick_stack(bq, r_c),
+                        interpret=interpret,
+                    )
+                else:
+                    v, dloc = fused_search_pallas(
+                        post_docs[si],
+                        post_vals[si],
+                        sr,
+                        rm,
+                        ab,
+                        dst,
+                        n_blocks=n_blocks,
+                        block=block,
+                        s=s,
+                        k=k,
+                        n_docs=n_docs,
+                        scale=scale,
+                        clip=clip,
+                        r_c=r_c,
+                        q_stack=pick_stack(bq, r_c),
+                        interpret=interpret,
+                    )
                 g = jnp.where(v > 0, dloc + doc_bases[si], -1)
             else:
                 v, g = search_packed_tables(
@@ -531,8 +556,10 @@ class SearchEngine:
     @property
     def scorer_mode(self) -> str:
         """Active scorer: "fused" (Pallas DMA+score+rank, TPU default),
-        "xla" (dynamic-slice pack + XLA rank, portable default), or
-        "xla_rank" (XLA pack + Pallas rank kernel). Bit-identical."""
+        "fused_dv" (fused over interleaved doc|val planes — ONE DMA per
+        block, ops/fused_dv.py), "xla" (dynamic-slice pack + XLA rank,
+        portable default), or "xla_rank" (XLA pack + Pallas rank
+        kernel). Bit-identical."""
         if self.scorer is not None:
             return self.scorer
         return (
@@ -666,6 +693,32 @@ class SearchEngine:
             ]
         return seg_global
 
+    def _dv_planes(self):
+        """Per-segment (X, 256) interleaved doc|val planes for the
+        single-DMA fused_dv kernel (ops/fused_dv.py), derived ON DEVICE
+        and cached by source-plane identity — add/delete/compact swap
+        the plane objects, which invalidates the cache entry."""
+        from ..ops.fused_dv import interleave_planes
+
+        cache = getattr(self, "_dv_cache", None)
+        if cache is None:
+            cache = self._dv_cache = {}
+        out = []
+        for si, (_host, device) in enumerate(self.segments):
+            key = (id(device.post_doc), id(device.post_val))
+            ent = cache.get(si)
+            if ent is None or ent[0] != key:
+                ent = (
+                    key,
+                    interleave_planes(device.post_doc, device.post_val),
+                )
+                cache[si] = ent
+            out.append(ent[1])
+        for si in list(cache):
+            if si >= len(self.segments):
+                del cache[si]
+        return tuple(out)
+
     def preplan(self, query_batches, k: int = 10) -> None:
         """Host-only: converge the plan-layout cache over representative
         query batches BEFORE the first dispatch (pure numpy — no device
@@ -677,8 +730,10 @@ class SearchEngine:
         if self.plan_cache is None or not self.segments:
             return
         mode = self.scorer_mode
+        if mode == "fused_dv" and k > 128:
+            mode = "fused"  # large-k serves via the XLA twin (_dispatch)
         families = self.block_families or (
-            FUSED_FAMILIES if mode == "fused" else DEFAULT_FAMILIES
+            FUSED_FAMILIES if mode.startswith("fused") else DEFAULT_FAMILIES
         )
         per_key: dict = {}
         for queries in query_batches:
@@ -699,7 +754,7 @@ class SearchEngine:
                 natural = plan_batch(
                     host.indptr, rows, found, families=families,
                     min_blocks=self.plan_min_blocks,
-                    compact=(mode == "fused" and k <= 128),
+                    compact=(mode.startswith("fused") and k <= 128),
                 )
                 key = self._plan_key(si, host, s, k, mode, families)
                 ent = per_key.setdefault(key, [0, []])
@@ -722,6 +777,10 @@ class SearchEngine:
         (search_stream) before forcing D2H.
         """
         mode = self.scorer_mode
+        if mode == "fused_dv" and k > 128:
+            # large k serves via the XLA twin over the standard planes —
+            # never hand the twin a dv-plane tuple
+            mode = "fused"
         n_slots = slot_h.shape[1]
         slot_h, coeff = slice_active_slots(slot_h, coeff)
         nq, s = coeff.shape
@@ -735,7 +794,7 @@ class SearchEngine:
         # block families are scorer-tuned: the fused kernel wants fewer,
         # larger DMAs (ops/schedule.py FUSED_FAMILIES rationale)
         families = self.block_families or (
-            FUSED_FAMILIES if mode == "fused" else DEFAULT_FAMILIES
+            FUSED_FAMILIES if mode.startswith("fused") else DEFAULT_FAMILIES
         )
         plan = []  # static: per seg (n_docs, s, ((nb, blk, bq, rc), ...))
         idx_map = []  # per segment: list of original-query index arrays
@@ -755,7 +814,7 @@ class SearchEngine:
                 min_blocks=self.plan_min_blocks,
                 # compacted candidate buffers only pay off for the
                 # fused kernel (the XLA twin's shapes are table-bound)
-                compact=(mode == "fused" and k <= 128),
+                compact=(mode.startswith("fused") and k <= 128),
             )
             if self.plan_cache is not None:
                 key = self._plan_key(si, host, s, k, mode, families)
@@ -782,7 +841,11 @@ class SearchEngine:
             np.array([h.doc_base for h, _ in self.segments], np.int32)
         )
         outs = _batch_step(
-            tuple(d.post_doc for _, d in self.segments),
+            # fused_dv scores from the interleaved (X, 256) planes —
+            # post_docs carries them; post_vals is unused by that path
+            self._dv_planes()
+            if mode == "fused_dv"
+            else tuple(d.post_doc for _, d in self.segments),
             tuple(d.post_val for _, d in self.segments),
             doc_bases,
             tuple(d.indptr for _, d in self.segments),

@@ -258,7 +258,7 @@ def test_k_beyond_lane_width_matches_oracle():
         ora = OracleEngine(cfg)
         ora.build(docs)
         o_ids, o_scores = ora.search(queries, k=200)
-        for scorer in (None, "fused", "xla_rank"):
+        for scorer in (None, "fused", "fused_dv", "xla_rank"):
             eng = SearchEngine(cfg)
             eng.scorer = scorer
             eng.build(docs)

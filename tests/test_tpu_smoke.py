@@ -50,7 +50,7 @@ def test_engine_oracle_parity_on_tpu():
         ora = OracleEngine(cfg)
         ora.build(docs)
         oi, os_ = ora.search(queries, k=10)
-        for mode in ("fused", "xla", "xla_rank"):
+        for mode in ("fused", "fused_dv", "xla", "xla_rank"):
             eng.scorer = mode
             ei, es = eng.search(queries, k=10)
             np.testing.assert_array_equal(ei, oi, f"{kind}/{mode}")

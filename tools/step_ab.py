@@ -16,6 +16,9 @@ module/engine knobs relative to the CURRENT committed defaults, so the
              program's region-parallel rank pipeline; re-test at every
              DMA-constant change — the r03 measurement was at
              DEPTH=4/block=2048)
+  dv       — scorer="fused_dv" (ops/fused_dv.py: interleaved doc|val
+             (X, 256) planes, ONE DMA per block — halves the
+             transaction count the roofline flagged)
   combos: join with '+', e.g. depth16+stack32.
 
 Method: exactly bench.py's "device step only" protocol — capture the
@@ -154,6 +157,8 @@ def main():
             elif part == "stack32":
                 fused_pallas.MAX_STACK = 32
                 fused_pallas.STACK_ROWS_BUDGET = 4096
+            elif part == "dv":
+                eng.scorer = "fused_dv"
             else:
                 raise SystemExit(f"unknown lever {part!r}")
 
@@ -162,6 +167,7 @@ def main():
         fused_pallas.MAX_STACK = DEF["max_stack"]
         fused_pallas.STACK_ROWS_BUDGET = DEF["budget"]
         eng.block_families = DEF["families"]
+        eng.scorer = "fused"
 
     t0 = time.perf_counter()
     run("baseline")
