@@ -7,16 +7,28 @@ fused kernel's DMA phase TRANSACTION-bound: ~134 ns per DMA at only
 and waited per (query, block). This variant stores postings as one
 (X, 256) int32 plane — lanes [0, 128) hold the doc keys, lanes
 [128, 256) the bitcast-f32 values, row for row — so each block costs a
-single contiguous (block/128, 256) DMA and a single semaphore wait.
-The VMEM split back into doc/val halves is a tile-aligned lane slice
-(lane tiles are 128 wide): pure addressing, no shuffles, no extra
-passes. Plan tables, compaction, stacking and the whole rank pipeline
-are IDENTICAL to ops/fused_pallas.py (same srcrow row offsets — the
-dv plane has the same row indexing, just 256 lanes per row).
+single contiguous DMA and a single semaphore wait. The VMEM split
+back into doc/val halves is a tile-aligned lane slice (lane tiles are
+128 wide): pure addressing, no shuffles, no extra passes. Plan
+tables, compaction, stacking and the whole rank pipeline are
+IDENTICAL to ops/fused_pallas.py (same srcrow row offsets — the dv
+plane has the same row indexing, just 256 lanes per row).
+
+Alignment: a 256-lane int32 HBM memref is two (8, 128) column tiles,
+so Mosaic requires dynamic dim-0 DMA offsets to be multiples of 8
+(measured on hardware — the (X, 128) planes escape this because one
+column tile keeps any row range flat-contiguous). srcrow offsets are
+arbitrary rows, so each DMA starts at the enclosing 8-row boundary
+(`pl.multiple_of` carries the proof) and copies an 8-row overhang;
+the true offset is taken as a dynamic sublane slice in VMEM. That is
++8/b128 extra bytes (+25% at the production block=4096) on a phase
+the roofline measured TRANSACTION-bound at 8-15% of HBM bandwidth —
+bytes are free, transactions are not.
 
 The dv plane is derived ON DEVICE from the resident doc/val planes
-(`interleave_planes`, one jit concat) so index layout, checkpoints and
-every other consumer of (X, 128) planes are untouched.
+(`interleave_planes`, one jit concat + 8-row overhang pad) so index
+layout, checkpoints and every other consumer of (X, 128) planes are
+untouched.
 
 Bit-identical to fused_search_pallas on the same plan — gated by
 tests/test_fused_dv.py in interpret mode and the TPU smoke suite on
@@ -35,11 +47,17 @@ from .fused_pallas import DEPTH
 from .rank_pallas import LANES, merge_rank_body
 
 
+ALIGN_ROWS = 8  # HBM dim-0 tile rows: dv DMAs start at multiples of this
+
+
 @jax.jit
 def interleave_planes(post_doc: jnp.ndarray, post_val: jnp.ndarray):
-    """(X, 256) i32 dv plane: lanes [0,128) = doc keys, [128,256) =
-    bitcast-f32 values, same row indexing as the source planes."""
-    return jnp.concatenate([post_doc, post_val], axis=1)
+    """(X + 8, 256) i32 dv plane: lanes [0,128) = doc keys, [128,256) =
+    bitcast-f32 values, same row indexing as the source planes. The 8
+    extra zero rows cover the aligned-DMA overhang past the planes'
+    NNZ_SLICE_MARGIN tail (content never selected — rem masks it)."""
+    dv = jnp.concatenate([post_doc, post_val], axis=1)
+    return jnp.pad(dv, ((0, ALIGN_ROWS), (0, 0)))
 
 
 def fused_search_dv(
@@ -122,18 +140,33 @@ def _fused_dv_kernel(
     q_stack: int,
 ):
     """Identical structure to fused_pallas._fused_kernel except the DMA
-    phase: one (b128, 256) copy + one wait per block, halving both the
-    transaction count and the semaphore waits the roofline flagged."""
+    phase: one (b128 + 8, 256) copy + one wait per block, halving both
+    the transaction count and the semaphore waits the roofline flagged.
+    The copy starts at the enclosing ALIGN_ROWS boundary (Mosaic proof
+    via pl.multiple_of). The 256-lane landed buffer is NEVER indexed at
+    a dynamic offset (two lane tiles would demand the same 8-row proof
+    in VMEM): all b128+8 rows are scored, the validity mask shifts by
+    the misalignment, and the store into the 128-lane accumulators is a
+    read-modify-write over a window whose out-of-block rows keep the
+    old contents — so the up-to-8-row overhang can never clobber a
+    neighboring block's or query-region's data. The accumulators carry
+    ALIGN_ROWS leading pad rows so the window base stays non-negative."""
     b128 = block // LANES
     from .fused_pallas import GRANULE_ROWS
 
-    dacc[:] = jnp.full((q_stack * r_c + b128, LANES), n_docs, jnp.int32)
-    ciacc[:] = jnp.zeros((q_stack * r_c + b128, LANES), jnp.int32)
+    acc_rows = ALIGN_ROWS + q_stack * r_c + b128 + ALIGN_ROWS
+    dacc[:] = jnp.full((acc_rows, LANES), n_docs, jnp.int32)
+    ciacc[:] = jnp.zeros((acc_rows, LANES), jnp.int32)
 
     def get_dma(q, j, slot):
         src = srcrow_ref[q, 0, j]
+        src_al = pl.multiple_of(
+            (src // ALIGN_ROWS) * ALIGN_ROWS, ALIGN_ROWS
+        )
         return pltpu.make_async_copy(
-            dv_hbm.at[pl.ds(src, b128), :], dvbuf.at[slot], sems.at[slot]
+            dv_hbm.at[pl.ds(src_al, b128 + ALIGN_ROWS), :],
+            dvbuf.at[slot],
+            sems.at[slot],
         )
 
     def start(jj):
@@ -146,9 +179,10 @@ def _fused_dv_kernel(
     total = q_stack * n_blocks
     for jj in range(min(DEPTH, total)):
         start(jj)
-    r_idx = jax.lax.broadcasted_iota(jnp.int32, (b128, LANES), 0)
-    l_idx = jax.lax.broadcasted_iota(jnp.int32, (b128, LANES), 1)
-    flat = r_idx * LANES + l_idx
+    rows40 = b128 + ALIGN_ROWS
+    r_idx = jax.lax.broadcasted_iota(jnp.int32, (rows40, LANES), 0)
+    l_idx = jax.lax.broadcasted_iota(jnp.int32, (rows40, LANES), 1)
+    flat40 = r_idx * LANES + l_idx
     for jj in range(total):
         q, j = divmod(jj, n_blocks)
         slot = jj % DEPTH
@@ -156,29 +190,43 @@ def _fused_dv_kernel(
         @pl.when(srcrow_ref[q, 0, j] >= 0)
         def _():
             get_dma(q, j, slot).wait()
+            src = srcrow_ref[q, 0, j]
+            off = src % ALIGN_ROWS
+            landed = dvbuf[slot]  # (rows40, 256), static read only
             # tile-aligned lane halves: addressing only, no shuffles
-            dch = dvbuf[slot, :, :LANES]
+            dch = landed[:, :LANES]
             vch = jax.lax.bitcast_convert_type(
-                dvbuf[slot, :, LANES:], jnp.float32
+                landed[:, LANES:], jnp.float32
             )
             a = jax.lax.bitcast_convert_type(
-                jnp.full((b128, LANES), abits_ref[q, 0, j], jnp.int32),
+                jnp.full((rows40, LANES), abits_ref[q, 0, j], jnp.int32),
                 jnp.float32,
             )
             # DESIGN.md §2 quantization — identical ops to fused_pallas
             ci_f = jnp.round((a * vch) * scale)
             ci = jnp.clip(ci_f, 0.0, clip).astype(jnp.int32)
-            valid = flat < rem_ref[q, 0, j]
+            # landed row r holds source row src - off + r: the block's
+            # element i is flat40 = off*128 + i, so shift the masks
+            rel = flat40 - off * LANES
+            valid = (rel >= 0) & (rel < rem_ref[q, 0, j])
+            inblock = (rel >= 0) & (rel < block)
             dst = q * r_c + dstrow_ref[q, 0, j]
-            dacc[pl.ds(dst, b128), :] = jnp.where(valid, dch, n_docs)
-            ciacc[pl.ds(dst, b128), :] = jnp.where(valid, ci, 0)
+            base = dst + ALIGN_ROWS - off  # landed row 0's dacc row
+            old_d = dacc[pl.ds(base, rows40), :]
+            old_ci = ciacc[pl.ds(base, rows40), :]
+            dacc[pl.ds(base, rows40), :] = jnp.where(
+                valid, dch, jnp.where(inblock, n_docs, old_d)
+            )
+            ciacc[pl.ds(base, rows40), :] = jnp.where(
+                valid, ci, jnp.where(inblock, 0, old_ci)
+            )
 
         nxt = jj + DEPTH
         if nxt < total:
             start(nxt)
     vals, docs = merge_rank_body(
-        dacc[pl.ds(0, q_stack * r_c)],
-        ciacc[pl.ds(0, q_stack * r_c)],
+        dacc[pl.ds(ALIGN_ROWS, q_stack * r_c)],
+        ciacc[pl.ds(ALIGN_ROWS, q_stack * r_c)],
         block=GRANULE_ROWS * LANES,
         s=s,
         k=k,
@@ -279,9 +327,13 @@ def fused_search_dv_pallas(
             ),
         ),
         scratch_shapes=[
-            pltpu.VMEM((DEPTH, b128, 2 * LANES), jnp.int32),
-            pltpu.VMEM((q_stack * r_c + b128, LANES), jnp.int32),
-            pltpu.VMEM((q_stack * r_c + b128, LANES), jnp.int32),
+            pltpu.VMEM((DEPTH, b128 + ALIGN_ROWS, 2 * LANES), jnp.int32),
+            pltpu.VMEM(
+                (2 * ALIGN_ROWS + q_stack * r_c + b128, LANES), jnp.int32
+            ),
+            pltpu.VMEM(
+                (2 * ALIGN_ROWS + q_stack * r_c + b128, LANES), jnp.int32
+            ),
             pltpu.SemaphoreType.DMA((DEPTH,)),
         ],
         out_shape=(

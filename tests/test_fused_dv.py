@@ -34,7 +34,7 @@ def _compare(seed, nq, s, blocksize, k, n_terms, n_docs, max_len,
         n_docs=n_docs, scale=scale, clip=clip, interpret=True,
     )
     dv = interleave_planes(jnp.asarray(d2), jnp.asarray(v2))
-    assert dv.shape == (d2.shape[0], 256)
+    assert dv.shape == (d2.shape[0] + 8, 256)
     got = fused_search_dv(
         dv, row_start, indptr, rows, coeff, doc_base=50, n_blocks=nb,
         block=blocksize, k=k, n_docs=n_docs, scale=scale, clip=clip,
