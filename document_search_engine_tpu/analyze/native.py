@@ -79,6 +79,26 @@ def _lib():
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64),
         ]
+    if hasattr(lib, "dse_query_slots"):  # older committed .so builds
+        lib.dse_query_slots.restype = None
+        lib.dse_query_slots.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
     _LIB = lib
     return lib
 
@@ -109,6 +129,58 @@ def lookup_sorted_prefixed(
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
     return out
+
+
+def slots_available() -> bool:
+    lib = _lib()
+    return lib is not None and hasattr(lib, "dse_query_slots")
+
+
+def query_slots(
+    hashes: np.ndarray,  # (nnz,) uint64 — AnalyzedDocs layout
+    tfs: np.ndarray,  # (nnz,) int32
+    doc_ptr: np.ndarray,  # (nq+1,) int64
+    vocab: np.ndarray,  # (T,) uint64 ascending (contiguous)
+    prefix_start: np.ndarray,  # (2^bits + 1,) int64
+    prefix_bits: int,
+    idf_by_row: np.ndarray,  # (T,) f32 — numpy-precomputed idf per row
+    s: int,
+    kind: str,
+):
+    """One C pass per batch: vocab lookup + slot assembly + query-side
+    f32 coefficients (analyzer.cpp dse_query_slots — spec.py operation
+    order, contraction off). Returns (out_h, out_a, out_r, out_f,
+    overflow); overflow rows are untouched zeros for the caller's
+    per-query slot-selection path."""
+    lib = _lib()
+    nq = len(doc_ptr) - 1
+    hashes = np.ascontiguousarray(hashes, dtype=np.uint64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.int32)
+    doc_ptr = np.ascontiguousarray(doc_ptr, dtype=np.int64)
+    out_h = np.zeros((nq, s), np.uint64)
+    out_a = np.zeros((nq, s), np.float32)
+    out_r = np.zeros((nq, s), np.int32)
+    out_f = np.zeros((nq, s), np.uint8)
+    overflow = np.zeros(nq, np.uint8)
+    lib.dse_query_slots(
+        hashes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        tfs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        doc_ptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        nq,
+        vocab.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        len(vocab),
+        prefix_start.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        prefix_bits,
+        idf_by_row.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        s,
+        0 if kind == "bm25" else 1,
+        out_h.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        out_a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out_r.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out_f.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        overflow.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out_h, out_a, out_r, out_f.view(bool), overflow
 
 
 def available() -> bool:

@@ -71,11 +71,16 @@ class QueryFrontend:
         term table is the global vocabulary — returning it here halves
         the frontend's lookup work on the serving path.
 
-        Batched fast path: native analyzer over all queries, one
-        searchsorted for df+rows, vectorized f32 spec math in the same
-        per-query operation order (bit-identical to analyze_slow —
-        tested). Queries with more unique terms than slots take the
+        Batched fast path: native analyzer over all queries, then ONE
+        C pass (analyze/native.query_slots) doing the vocab lookup,
+        slot assembly and query-side f32 coefficients together —
+        spec.py operation order with contraction off, idf gathered
+        from the numpy-precomputed stats.idf_by_row table, so results
+        are bit-identical to analyze_slow (tested). Without the native
+        library the vectorized numpy path below computes the same
+        thing. Queries with more unique terms than slots take the
         per-query path (slot selection is per-query logic)."""
+        from ..analyze import native
         from ..index import builder
 
         s = self.config.max_query_terms
@@ -95,6 +100,25 @@ class QueryFrontend:
         if len(analyzed.hashes) == 0 or len(stats.vocab) == 0:
             return out_h, out_a, out_r, out_f
 
+        kind = self.config.scoring.kind
+        if native.slots_available():
+            vocab_c, starts, bits = stats.prefix_table()
+            out_h, out_a, out_r, out_f, overflow = native.query_slots(
+                analyzed.hashes,
+                analyzed.tfs,
+                analyzed.doc_ptr,
+                vocab_c,
+                starts,
+                bits,
+                stats.idf_by_row(kind),
+                s,
+                kind,
+            )
+            return self._finish_slow_rows(
+                queries, stats, s, np.nonzero(overflow)[0],
+                out_h, out_a, out_r, out_f,
+            )
+
         ok = lens <= s  # slot-overflow queries take the per-query path
         # operate on the batch's ACTIVE column range only: every array
         # below is (nq, lmax) instead of (nq, S). Bit-exact — the spec's
@@ -107,7 +131,6 @@ class QueryFrontend:
         h_act = np.where(mask, analyzed.hashes[slot_idx], np.uint64(0))
         qtf = np.where(mask, analyzed.tfs[slot_idx], 0).astype(np.int32)
 
-        kind = self.config.scoring.kind
         # ONE vocab lookup, flat over the active (nq, lmax) window —
         # padding slots (hash 0) ride along and are masked out after.
         # Full-array where/reshape beats boolean-scatter round trips
@@ -143,7 +166,17 @@ class QueryFrontend:
         out_r[:, :lmax] = rows_act
         out_f[:, :lmax] = fnd_act
 
-        slow = np.nonzero(~ok)[0]
+        return self._finish_slow_rows(
+            queries, stats, s, np.nonzero(~ok)[0],
+            out_h, out_a, out_r, out_f,
+        )
+
+    def _finish_slow_rows(
+        self, queries, stats, s, slow, out_h, out_a, out_r, out_f
+    ):
+        """Fill the slot-overflow queries via the per-query reference
+        path (spec.select_query_slots is per-query logic), shared by
+        the native and numpy batch paths."""
         for i in slow:
             out_h[i] = 0
             out_a[i] = F32(0.0)

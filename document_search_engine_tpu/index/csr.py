@@ -153,9 +153,19 @@ class GlobalStats:
         n = len(self.vocab)
         if n < 4096 or len(hashes) < 512 or not native.lookup_available():
             return lookup_sorted(self.vocab, hashes)
+        vocab_c, starts, bits = self.prefix_table()
+        flat = np.ascontiguousarray(hashes).reshape(-1)
+        out = native.lookup_sorted_prefixed(vocab_c, starts, bits, flat)
+        return out.reshape(np.shape(hashes))
+
+    def prefix_table(self):
+        """(contiguous vocab, prefix_start, bits) for the native
+        binary-search kernels; built once per stats object (stats are
+        recreated on every refresh, so the cache can never go stale)."""
         tbl = getattr(self, "_prefix_tbl", None)
         if tbl is None:
-            bits = max(10, min(18, int(np.ceil(np.log2(n)))))
+            n = len(self.vocab)
+            bits = max(10, min(18, int(np.ceil(np.log2(max(n, 2))))))
             bounds = np.arange(1 << bits, dtype=np.uint64) << (64 - bits)
             starts = np.empty((1 << bits) + 1, np.int64)
             starts[:-1] = np.searchsorted(self.vocab, bounds)
@@ -163,10 +173,25 @@ class GlobalStats:
             vocab_c = np.ascontiguousarray(self.vocab, dtype=np.uint64)
             tbl = (vocab_c, starts, bits)
             object.__setattr__(self, "_prefix_tbl", tbl)
-        vocab_c, starts, bits = tbl
-        flat = np.ascontiguousarray(hashes).reshape(-1)
-        out = native.lookup_sorted_prefixed(vocab_c, starts, bits, flat)
-        return out.reshape(np.shape(hashes))
+        return tbl
+
+    def idf_by_row(self, kind: str) -> np.ndarray:
+        """f32 idf per vocab row — spec.idf_of over the full df array,
+        precomputed in NUMPY (np.log's f32 SIMD need not match libm
+        logf bit-for-bit, so the native frontend only gathers from this
+        table) and cached per stats object."""
+        from ..oracle import spec
+
+        cache = getattr(self, "_idf_by_row", None)
+        if cache is None:
+            cache = {}
+            object.__setattr__(self, "_idf_by_row", cache)
+        t = cache.get(kind)
+        if t is None:
+            t = cache[kind] = np.ascontiguousarray(
+                spec.idf_of(kind, self.n_alive, self.df)
+            )
+        return t
 
     def df_of(self, hashes: np.ndarray) -> np.ndarray:
         """df per query hash; 0 for unknown terms."""

@@ -11,6 +11,7 @@
 // Build: make -C native   (g++ -O3 -shared; zero dependencies)
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstddef>
 #include <vector>
@@ -162,6 +163,80 @@ void dse_lookup_sorted(const uint64_t *vocab, int64_t n_vocab,
       if (vocab[mid] < x) lo = mid + 1; else hi = mid;
     }
     out_idx[i] = lo;
+  }
+}
+
+// Serving-frontend slot assembly: one pass over the per-query
+// (hash, tf) spans of an AnalyzedDocs batch doing the vocab lookup
+// (same prefix-table binary search as dse_lookup_sorted), the idf
+// gather, and the query-side f32 coefficients of oracle/spec.py.
+// The idf values themselves come from a numpy-precomputed per-row
+// table (np.log's float32 SIMD need not match libm logf bit-for-bit,
+// so the transcendental never runs here); everything in this function
+// is IEEE single-precision mul/div/sqrt in spec.py's operation order,
+// with contraction disabled via -ffp-contract=off (Makefile) so
+// acc + w*w cannot become fmaf. Queries with more unique terms than
+// `s` slots are flagged in overflow[] and left untouched for the
+// caller's per-query slot-selection path; out arrays arrive zeroed.
+// kind: 0 = bm25 (a = f32(tf) * idf), 1 = tfidf
+// (qw = f32(tf)*idf; qnorm = sqrt(seq sum qw^2); a = (qw/qnorm)*idf).
+void dse_query_slots(const uint64_t *hashes, const int32_t *tfs,
+                     const int64_t *doc_ptr, int64_t nq,
+                     const uint64_t *vocab, int64_t n_vocab,
+                     const int64_t *prefix_start, int32_t prefix_bits,
+                     const float *idf_by_row, int32_t s, int32_t kind,
+                     uint64_t *out_h, float *out_a, int32_t *out_r,
+                     uint8_t *out_f, uint8_t *overflow) {
+  const int shift = 64 - prefix_bits;
+  std::vector<float> qw(static_cast<size_t>(s));
+  std::vector<float> idfs(static_cast<size_t>(s));
+  for (int64_t q = 0; q < nq; ++q) {
+    const int64_t b = doc_ptr[q];
+    const int64_t len = doc_ptr[q + 1] - b;
+    if (len > s) {
+      overflow[q] = 1;
+      continue;
+    }
+    uint64_t *oh = out_h + q * s;
+    float *oa = out_a + q * s;
+    int32_t *orow = out_r + q * s;
+    uint8_t *of = out_f + q * s;
+    for (int64_t i = 0; i < len; ++i) {
+      const uint64_t x = hashes[b + i];
+      const uint64_t p = x >> shift;
+      int64_t lo = prefix_start[p];
+      int64_t hi = prefix_start[p + 1];
+      while (lo < hi) {
+        const int64_t mid = (lo + hi) >> 1;
+        if (vocab[mid] < x) lo = mid + 1; else hi = mid;
+      }
+      const bool found = lo < n_vocab && vocab[lo] == x;
+      const float idf = found ? idf_by_row[lo] : 0.0f;
+      oh[i] = x;
+      orow[i] = found ? static_cast<int32_t>(lo) : 0;
+      of[i] = found ? 1 : 0;
+      const float tf_f = static_cast<float>(tfs[b + i]);
+      if (kind == 0) {
+        const float a = tf_f * idf;
+        oa[i] = (idf == 0.0f) ? 0.0f : a;
+      } else {
+        qw[i] = tf_f * idf;
+        idfs[i] = idf;
+      }
+    }
+    if (kind != 0 && len > 0) {
+      float acc = 0.0f;
+      for (int64_t i = 0; i < len; ++i) {
+        const float w = qw[i];
+        acc = acc + w * w;
+      }
+      const float qnorm = std::sqrt(acc);
+      for (int64_t i = 0; i < len; ++i) {
+        float a =
+            (qnorm == 0.0f) ? 0.0f : (qw[i] / qnorm) * idfs[i];
+        oa[i] = (idfs[i] == 0.0f) ? 0.0f : a;
+      }
+    }
   }
 }
 

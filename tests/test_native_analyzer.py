@@ -62,3 +62,52 @@ def test_fast_analyze_falls_back_without_support():
     ref = builder.analyze_texts(docs, cfg)
     fast = builder.analyze_texts_fast(docs, cfg)  # python fallback path
     assert_analyzed_equal(fast, ref)
+
+
+@needs_native
+def test_query_slots_matches_numpy_batch_path():
+    """The one-pass C frontend (dse_query_slots: lookup + slot assembly
+    + f32 coeff math) must be bit-identical — including the f32 coeff
+    BITS — to the vectorized numpy path it replaces, across scorings,
+    df=0 rows, unknown terms, empty queries, duplicate terms, and
+    slot-overflow queries."""
+    from document_search_engine_tpu.analyze.hashing import TermHasher
+    from document_search_engine_tpu.config import ScoringConfig
+    from document_search_engine_tpu.engine.query import QueryFrontend
+    from document_search_engine_tpu.index.csr import GlobalStats
+
+    if not native.slots_available():
+        pytest.skip("committed .so predates dse_query_slots")
+    rng = np.random.default_rng(5)
+    V = 6000
+    tokens = [f"tok{i:05d}" for i in range(V)]
+    vocab = np.sort(TermHasher().hash_tokens(tokens))
+    df = rng.integers(0, 500, V).astype(np.int32)  # includes df=0 rows
+    qrows = rng.integers(0, V, (64, 6))
+    batch = [" ".join(tokens[r] for r in qr) for qr in qrows]
+    batch += [
+        "",
+        "zzzz unknown terms",
+        "tok00001 tok00001 tok00002",
+        " ".join(tokens[:40]),  # overflow: > max_query_terms uniques
+    ]
+    for kind in ("bm25", "tfidf"):
+        stats = GlobalStats(
+            vocab=vocab, df=df, n_alive=9000, total_len_alive=270000
+        )
+        cfg = IndexConfig(scoring=ScoringConfig(kind=kind))
+        fe = QueryFrontend(cfg)
+        fast = fe.analyze_rows(batch, stats)
+        orig = native.slots_available
+        native.slots_available = lambda: False
+        try:
+            ref = fe.analyze_rows(batch, stats)
+        finally:
+            native.slots_available = orig
+        for a, b, name in zip(fast, ref, ("h", "a", "rows", "found")):
+            if name == "a":
+                np.testing.assert_array_equal(
+                    a.view(np.uint32), b.view(np.uint32), f"{kind}/{name}"
+                )
+            else:
+                np.testing.assert_array_equal(a, b, f"{kind}/{name}")
