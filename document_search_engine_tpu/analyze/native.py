@@ -99,6 +99,27 @@ def _lib():
             ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_uint8),
         ]
+    if hasattr(lib, "dse_analyze_queries"):
+        lib.dse_analyze_queries.restype = None
+        lib.dse_analyze_queries.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
     _LIB = lib
     return lib
 
@@ -167,6 +188,54 @@ def query_slots(
         tfs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         doc_ptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         nq,
+        vocab.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        len(vocab),
+        prefix_start.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        prefix_bits,
+        idf_by_row.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        s,
+        0 if kind == "bm25" else 1,
+        out_h.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        out_a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out_r.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out_f.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        overflow.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out_h, out_a, out_r, out_f.view(bool), overflow
+
+
+def analyze_queries_available() -> bool:
+    lib = _lib()
+    return lib is not None and hasattr(lib, "dse_analyze_queries")
+
+
+def analyze_queries(
+    texts,  # list[str], MUST be all-ASCII (caller checks)
+    config: AnalyzerConfig,
+    vocab: np.ndarray,
+    prefix_start: np.ndarray,
+    prefix_bits: int,
+    idf_by_row: np.ndarray,
+    s: int,
+    kind: str,
+):
+    """Raw query text -> slot arrays in ONE C pass (analyzer.cpp
+    dse_analyze_queries: tokenize + hash + sort/uniq + lookup + f32
+    coeffs). Returns (out_h, out_a, out_r, out_f, overflow)."""
+    lib = _lib()
+    nq = len(texts)
+    buf, offs = _buf_offs(texts)
+    out_h = np.zeros((nq, s), np.uint64)
+    out_a = np.zeros((nq, s), np.float32)
+    out_r = np.zeros((nq, s), np.int32)
+    out_f = np.zeros((nq, s), np.uint8)
+    overflow = np.zeros(nq, np.uint8)
+    lib.dse_analyze_queries(
+        buf,
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        nq,
+        config.min_token_len,
+        config.max_token_len,
         vocab.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
         len(vocab),
         prefix_start.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),

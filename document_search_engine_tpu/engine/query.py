@@ -85,6 +85,40 @@ class QueryFrontend:
 
         s = self.config.max_query_terms
         nq = len(queries)
+        # fully-fused path: raw text -> slot arrays in ONE C pass
+        # (dse_analyze_queries), no intermediate batch arrays at all
+        if (
+            nq
+            and len(stats.vocab)
+            and native.analyze_queries_available()
+            and native.config_supported(self.config.analyzer)
+        ):
+            try:
+                ascii_all = ("".join(queries)).isascii()
+            except TypeError:
+                queries = [
+                    q if isinstance(q, str) else str(q) for q in queries
+                ]
+                ascii_all = ("".join(queries)).isascii()
+            if ascii_all:
+                kind = self.config.scoring.kind
+                vocab_c, starts, bits = stats.prefix_table()
+                out_h, out_a, out_r, out_f, overflow = (
+                    native.analyze_queries(
+                        queries,
+                        self.config.analyzer,
+                        vocab_c,
+                        starts,
+                        bits,
+                        stats.idf_by_row(kind),
+                        s,
+                        kind,
+                    )
+                )
+                return self._finish_slow_rows(
+                    queries, stats, s, np.nonzero(overflow)[0],
+                    out_h, out_a, out_r, out_f,
+                )
         try:
             analyzed = builder.analyze_texts_fast(queries, self.config)
         except (TypeError, AttributeError):

@@ -240,4 +240,100 @@ void dse_query_slots(const uint64_t *hashes, const int32_t *tfs,
   }
 }
 
+// Fully-fused serving frontend: raw ASCII query text -> slot arrays in
+// ONE pass (tokenize + FNV-1a64 + per-query sort/uniq + prefix-table
+// vocab lookup + idf gather + f32 query coefficients). Combines
+// dse_analyze_docs and dse_query_slots without materializing the
+// intermediate (hash, tf, doc_ptr) batch arrays or running the
+// separate token-count pass. Same float contract as dse_query_slots
+// (numpy-precomputed idf table; spec.py operation order; contraction
+// off). Slot-overflow queries (> s unique terms) are flagged and left
+// zeroed for the caller's per-query slot-selection path.
+void dse_analyze_queries(const char *buf, const int64_t *offs, int64_t nq,
+                         int32_t min_len, int32_t max_len,
+                         const uint64_t *vocab, int64_t n_vocab,
+                         const int64_t *prefix_start, int32_t prefix_bits,
+                         const float *idf_by_row, int32_t s, int32_t kind,
+                         uint64_t *out_h, float *out_a, int32_t *out_r,
+                         uint8_t *out_f, uint8_t *overflow) {
+  const int shift = 64 - prefix_bits;
+  std::vector<uint64_t> scratch;
+  std::vector<float> qw(static_cast<size_t>(s));
+  std::vector<float> idfs(static_cast<size_t>(s));
+  for (int64_t q = 0; q < nq; ++q) {
+    const char *p = buf + offs[q];
+    const char *end = buf + offs[q + 1];
+    scratch.clear();
+    uint64_t h = kFnvOffset;
+    int64_t run = 0;
+    unsigned char lowered;
+    for (; p < end; ++p) {
+      if (is_alnum_lower(static_cast<unsigned char>(*p), lowered)) {
+        h = (h ^ lowered) * kFnvPrime;
+        ++run;
+      } else if (run) {
+        if (run >= min_len && run <= max_len) scratch.push_back(h);
+        h = kFnvOffset;
+        run = 0;
+      }
+    }
+    if (run && run >= min_len && run <= max_len) scratch.push_back(h);
+    if (scratch.empty()) continue;
+    std::sort(scratch.begin(), scratch.end());
+    // unique-count gate before any writes (overflow rows stay zeroed)
+    int64_t uniq = 1;
+    for (size_t i = 1; i < scratch.size(); ++i)
+      uniq += scratch[i] != scratch[i - 1];
+    if (uniq > s) {
+      overflow[q] = 1;
+      continue;
+    }
+    uint64_t *oh = out_h + q * s;
+    float *oa = out_a + q * s;
+    int32_t *orow = out_r + q * s;
+    uint8_t *of = out_f + q * s;
+    int64_t w = 0;
+    size_t i = 0;
+    while (i < scratch.size()) {
+      const uint64_t x = scratch[i];
+      size_t j = i + 1;
+      while (j < scratch.size() && scratch[j] == x) ++j;
+      const uint64_t pb = x >> shift;
+      int64_t lo = prefix_start[pb];
+      int64_t hi = prefix_start[pb + 1];
+      while (lo < hi) {
+        const int64_t mid = (lo + hi) >> 1;
+        if (vocab[mid] < x) lo = mid + 1; else hi = mid;
+      }
+      const bool found = lo < n_vocab && vocab[lo] == x;
+      const float idf = found ? idf_by_row[lo] : 0.0f;
+      oh[w] = x;
+      orow[w] = found ? static_cast<int32_t>(lo) : 0;
+      of[w] = found ? 1 : 0;
+      const float tf_f = static_cast<float>(j - i);
+      if (kind == 0) {
+        const float a = tf_f * idf;
+        oa[w] = (idf == 0.0f) ? 0.0f : a;
+      } else {
+        qw[w] = tf_f * idf;
+        idfs[w] = idf;
+      }
+      ++w;
+      i = j;
+    }
+    if (kind != 0 && w > 0) {
+      float acc = 0.0f;
+      for (int64_t t = 0; t < w; ++t) {
+        const float v = qw[t];
+        acc = acc + v * v;
+      }
+      const float qnorm = std::sqrt(acc);
+      for (int64_t t = 0; t < w; ++t) {
+        float a = (qnorm == 0.0f) ? 0.0f : (qw[t] / qnorm) * idfs[t];
+        oa[t] = (idfs[t] == 0.0f) ? 0.0f : a;
+      }
+    }
+  }
+}
+
 }  // extern "C"

@@ -111,3 +111,64 @@ def test_query_slots_matches_numpy_batch_path():
                 )
             else:
                 np.testing.assert_array_equal(a, b, f"{kind}/{name}")
+
+
+@needs_native
+def test_analyze_queries_fused_matches_fallback_paths():
+    """The fully-fused text->slots C pass (dse_analyze_queries) must be
+    bit-identical to BOTH fallback paths (two-call native, numpy batch)
+    including f32 coeff bits, and non-ASCII batches must route around
+    it and still match."""
+    from document_search_engine_tpu.analyze.hashing import TermHasher
+    from document_search_engine_tpu.config import ScoringConfig
+    from document_search_engine_tpu.engine.query import QueryFrontend
+    from document_search_engine_tpu.index.csr import GlobalStats
+
+    if not native.analyze_queries_available():
+        pytest.skip("committed .so predates dse_analyze_queries")
+    rng = np.random.default_rng(17)
+    V = 5000
+    tokens = [f"tok{i:05d}" for i in range(V)]
+    vocab = np.sort(TermHasher().hash_tokens(tokens))
+    df = rng.integers(0, 400, V).astype(np.int32)
+    qrows = rng.integers(0, V, (48, 6))
+    batch = [" ".join(tokens[r] for r in qr) for qr in qrows]
+    batch += [
+        "",
+        "zzzz unknown",
+        "tok00001 tok00001 tok00002",
+        " ".join(tokens[:40]),  # overflow
+        "UPPER Case MiXeD tok00007",
+    ]
+    uni = list(batch) + ["café naïve tok00003"]  # non-ASCII batch
+    for kind in ("bm25", "tfidf"):
+        stats = GlobalStats(
+            vocab=vocab, df=df, n_alive=8000, total_len_alive=240000
+        )
+        cfg = IndexConfig(scoring=ScoringConfig(kind=kind))
+        fe = QueryFrontend(cfg)
+        for queries in (batch, uni):
+            fused = fe.analyze_rows(queries, stats)
+            orig_aq = native.analyze_queries_available
+            native.analyze_queries_available = lambda: False
+            try:
+                twocall = fe.analyze_rows(queries, stats)
+                orig_qs = native.slots_available
+                native.slots_available = lambda: False
+                try:
+                    ref = fe.analyze_rows(queries, stats)
+                finally:
+                    native.slots_available = orig_qs
+            finally:
+                native.analyze_queries_available = orig_aq
+            for got, name in ((twocall, "two-call"), (ref, "numpy")):
+                for a, b, f in zip(fused, got, ("h", "a", "r", "f")):
+                    if f == "a":
+                        np.testing.assert_array_equal(
+                            a.view(np.uint32), b.view(np.uint32),
+                            f"{kind}/{name}/{f}",
+                        )
+                    else:
+                        np.testing.assert_array_equal(
+                            a, b, f"{kind}/{name}/{f}"
+                        )
