@@ -279,7 +279,11 @@ class SearchEngine:
         # appends a segment (a recompile + a merge column each), and
         # tombstoned postings cost scan work until compacted. Compact
         # automatically when either bound is crossed; None disables.
-        self.auto_compact_segments: int | None = 16
+        # Threshold measured on hardware (tools/segments_bench.py,
+        # round-4): serving is flat through 4 segments (100/103/97%),
+        # then falls off — 80% at 8, 53% at 16 — while compile+warmup
+        # grows ~2x across the sweep; 4 keeps the curve's flat region.
+        self.auto_compact_segments: int | None = 4
         self.auto_compact_dead_frac: float | None = 0.5
         # None = scorer-tuned block families (ops/schedule.py); override
         # with ((threshold, block), ..., (None, block)) to A/B schedules
@@ -338,6 +342,13 @@ class SearchEngine:
             self.segments.append([host, device])
             self.n_docs_total += host.n_docs
         self._refresh_stats_and_vals()
+        # finalize through the lifecycle policy: serving degrades with
+        # fragmentation (measured curve in tools/segments_bench.py —
+        # 80% at 8 segments, 53% at 16), so a many-batch build should
+        # not leave its per-batch segments behind. One compact here is
+        # O(corpus), same order as the build itself; opt out with
+        # auto_compact_segments=None to keep the fragmentation.
+        self._maybe_auto_compact()
 
     def _build_segment(self, analyzed, doc_base: int):
         """One segment build: jit device CSR pack + materialization by
