@@ -40,7 +40,9 @@ def _pow2_at_least(n: int, lo: int = 1) -> int:
 
 @partial(
     jax.jit,
-    static_argnames=("plan", "k", "scale", "clip", "mode", "interpret"),
+    static_argnames=(
+        "plan", "k", "scale", "clip", "mode", "n_real", "interpret",
+    ),
 )
 def _batch_step(
     post_docs,  # tuple of per-segment (X, 128) i32 doc planes
@@ -54,7 +56,8 @@ def _batch_step(
     k: int,
     scale: float,
     clip: float,
-    mode: str,  # "fused" | "xla" | "xla_rank"
+    mode: str,  # "fused" | "fused_dv" | "xla" | "xla_rank"
+    n_real: int = 0,  # readback-trim gather size (0 = padded output)
     interpret: bool = False,
 ):
     """One XLA program for the whole batch: every (segment x bucket)
@@ -65,10 +68,15 @@ def _batch_step(
     numpy expansion + its H2D was ~25% of serving time). mode picks the
     fused Pallas DMA+score+rank kernel (TPU production) or its
     bit-identical XLA twin over the same plan tables.
-    Returns ONE (sum of bucket bq, 2k) int32 array — per-bucket vals and
-    gids stacked in plan order, [vals | gids] side by side — so a batch
-    costs exactly one device->host readback (the dev tunnel serializes
-    transfers at ~35 ms; per-bucket reads would dominate serving)."""
+    Returns ONE int32 array — per-bucket vals and gids stacked in plan
+    order, [vals | gids] side by side — so a batch costs exactly one
+    device->host readback (the dev tunnel serializes transfers at
+    ~35 ms; per-bucket reads would dominate serving). With n_real > 0
+    (the production dispatch) the pow-2 bq padding rows are dropped
+    ON DEVICE before the readback: rows_cat carries n_real gather
+    indices folded into its tail (same H2D transfer), and the output
+    is the gathered (n_real, 2k) — n_real = nq * n_segments, which is
+    traffic-stable, so the jit signature space is unchanged."""
     from ..ops.fused_pallas import expand_plan_tables, fused_search_pallas
     from ..ops.packed import search_packed_tables
 
@@ -154,9 +162,17 @@ def _batch_step(
                 )
             out_v.append(v)
             out_g.append(g)
-    return jnp.concatenate(
+    stacked = jnp.concatenate(
         [jnp.concatenate(out_v, 0), jnp.concatenate(out_g, 0)], 1
     )
+    if not n_real:
+        return stacked
+    s_cols = rows_cat.shape[1]
+    n_extra = -(-n_real // s_cols)
+    idx_flat = jax.lax.slice_in_dim(
+        rows_cat, off, off + n_extra
+    ).reshape(-1)[:n_real]
+    return jnp.take(stacked, idx_flat, axis=0)
 
 
 def pipelined_stream(query_batches, depth, analyze_job, dispatch_job):
@@ -851,6 +867,26 @@ class SearchEngine:
         doc_bases = jnp.asarray(
             np.array([h.doc_base for h, _ in self.segments], np.int32)
         )
+        r_all = np.concatenate(r_subs, axis=0)
+        # readback trim: the step gathers the real (non-pad) output rows
+        # on device before the D2H (~22% of readback volume is pow-2 bq
+        # padding). The gather index rides in rows_cat's tail — same
+        # H2D transfer count. n_real = nq * n_segments (traffic-stable).
+        offs = []
+        off = 0
+        for idxs in idx_map:
+            for idx, bq in idxs:
+                offs.append(off + np.arange(len(idx), dtype=np.int32))
+                off += bq
+        idx_flat = np.concatenate(offs)
+        n_real = len(idx_flat)
+        s_cols = r_all.shape[1]
+        n_extra = -(-n_real // s_cols)
+        tail = np.zeros(n_extra * s_cols, np.int32)
+        tail[:n_real] = idx_flat
+        r_all = np.concatenate(
+            [r_all, tail.reshape(n_extra, s_cols)], axis=0
+        )
         outs = _batch_step(
             # fused_dv scores from the interleaved (X, 256) planes —
             # post_docs carries them; post_vals is unused by that path
@@ -862,13 +898,14 @@ class SearchEngine:
             tuple(d.indptr for _, d in self.segments),
             tuple(d.row_start for _, d in self.segments),
             # ONE stacked H2D pair per batch, sliced statically under jit
-            jnp.asarray(np.concatenate(r_subs, axis=0)),
+            jnp.asarray(r_all),
             jnp.asarray(np.concatenate(a_subs, axis=0).view(np.int32)),
             plan=tuple(plan),
             k=k,
             scale=scale,
             clip=clip,
             mode=mode,
+            n_real=n_real,
             # a forced Pallas mode off-TPU runs in interpreter mode
             # instead of failing to compile (ADVICE.md round 2)
             interpret=(jax.devices()[0].platform != "tpu"),
@@ -881,14 +918,14 @@ class SearchEngine:
         out, idx_map, nq, k = fut
         host = np.asarray(out)
         all_vals, all_gids = [], []
-        off = 0
+        off = 0  # rows are the device-gathered REAL rows, bq pad dropped
         for idxs in idx_map:
             seg_v = np.full((nq, k), -1, np.int32)
             seg_g = np.full((nq, k), -1, np.int32)
-            for idx, bq in idxs:
+            for idx, _bq in idxs:
                 seg_v[idx] = host[off : off + len(idx), :k]
                 seg_g[idx] = host[off : off + len(idx), k:]
-                off += bq
+                off += len(idx)
             all_vals.append(seg_v)
             all_gids.append(seg_g)
         if len(all_vals) == 1:
