@@ -442,9 +442,14 @@ def main():
         )
         t_host = time.perf_counter() - t0
         t0 = time.perf_counter()
-        _dev_planes = [jnp.asarray(x) for x in (_d2, _v2, _t2)]
-        _ = np.asarray(_dev_planes[0][:1, :1])  # force the transfer
-        t_h2d = time.perf_counter() - t0
+        try:
+            _dev_planes = [jnp.asarray(x) for x in (_d2, _v2, _t2)]
+            _ = np.asarray(_dev_planes[0][:1, :1])  # force the transfer
+            t_h2d = time.perf_counter() - t0
+            del _dev_planes
+        except Exception as e:  # noqa: BLE001 — tunnel weather
+            log(f"build H2D transfer SKIPPED: {type(e).__name__}: {e}")
+            t_h2d = float("nan")
         build_docs_per_sec = len(bd) / (t_an + t_host)
         log(
             f"index build: {len(bd)} docs — host analyze {t_an:.2f}s + "
@@ -452,7 +457,7 @@ def main():
             f"{build_docs_per_sec:,.0f} docs/sec host-only; H2D transfer "
             f"{t_h2d:.2f}s ({_d2.nbytes*3/1e6:.0f} MB, tunnel-bound)"
         )
-        del _dev_planes, _d2, _v2, _t2, _vals
+        del _d2, _v2, _t2, _vals
         if os.environ.get("BENCH_BUILD_DEVICE", "0") == "1":
             eng_b = SearchEngine(cfg)
             eng_b.device_build = True
@@ -560,101 +565,134 @@ def main():
         time.sleep(cooldown)
     passes = int(os.environ.get("BENCH_PASSES", "5" if on_tpu else "3"))
     qps = 0.0
+    last_err = None
     for p in range(passes):
-        t0 = time.perf_counter()
-        n_out = 0
-        lat = []  # submit->result latency per batch (depth in flight)
-        submit_t = []
+        # the dev tunnel occasionally drops its endpoints mid-run
+        # (observed: remote_compile connection refused after hours up);
+        # a failed pass must not lose the passes already measured, and
+        # the endpoint often comes back, so retry before giving up
+        for attempt in range(3):
+            try:
+                t0 = time.perf_counter()
+                n_out = 0
+                lat = []  # submit->result latency (depth in flight)
+                submit_t = []
 
-        def timed_batches():
-            for b in batch_iter():
-                submit_t.append(time.perf_counter())
-                yield b
+                def timed_batches():
+                    for b in batch_iter():
+                        submit_t.append(time.perf_counter())
+                        yield b
 
-        for ids, _scores in eng.search_stream(
-            timed_batches(), k=k, depth=depth
-        ):
-            lat.append(time.perf_counter() - submit_t[len(lat)])
-            n_out += len(ids)
-        dt = time.perf_counter() - t0
-        assert n_out == nq * iters
-        qps_p = nq * iters / dt
-        qps = max(qps, qps_p)
-        lat_ms = np.sort(np.array(lat) * 1e3)
-        log(
-            f"engine serving pass {p + 1}/{passes}: {iters} iters in "
-            f"{dt:.3f}s -> {qps_p:,.0f} q/s/chip ({dt/iters*1e3:.2f} "
-            f"ms/batch of {nq}; SearchEngine.search_stream over raw "
-            f"text: analyze+plan+stage+H2D+dispatch+D2H, depth {depth}; "
-            f"batch latency p50={lat_ms[len(lat_ms)//2]:.0f} "
-            f"p90={lat_ms[int(len(lat_ms)*0.9)]:.0f} "
-            f"max={lat_ms[-1]:.0f} ms)"
-        )
+                for ids, _scores in eng.search_stream(
+                    timed_batches(), k=k, depth=depth
+                ):
+                    lat.append(time.perf_counter() - submit_t[len(lat)])
+                    n_out += len(ids)
+                dt = time.perf_counter() - t0
+                assert n_out == nq * iters
+            except Exception as e:  # noqa: BLE001 — tunnel weather
+                last_err = e
+                log(f"engine serving pass {p + 1}/{passes} attempt "
+                    f"{attempt + 1}/3 FAILED: {type(e).__name__}: {e}")
+                time.sleep(45)
+                continue
+            qps_p = nq * iters / dt
+            qps = max(qps, qps_p)
+            lat_ms = np.sort(np.array(lat) * 1e3)
+            log(
+                f"engine serving pass {p + 1}/{passes}: {iters} iters in "
+                f"{dt:.3f}s -> {qps_p:,.0f} q/s/chip ({dt/iters*1e3:.2f} "
+                f"ms/batch of {nq}; SearchEngine.search_stream over raw "
+                f"text: analyze+plan+stage+H2D+dispatch+D2H, depth {depth}; "
+                f"batch latency p50={lat_ms[len(lat_ms)//2]:.0f} "
+                f"p90={lat_ms[int(len(lat_ms)*0.9)]:.0f} "
+                f"max={lat_ms[-1]:.0f} ms)"
+            )
+            break
         if p < passes - 1 and on_tpu:
             time.sleep(8)  # sample distinct tunnel-health windows
+    if qps == 0.0 and last_err is not None:
+        raise last_err  # nothing measured: fail honestly
     log(f"engine serving (best of {passes} passes): {qps:,.0f} q/s/chip")
 
+    # Secondary metrics run after the primary number is in hand; a
+    # tunnel drop inside one must not lose the JSON line, so each runs
+    # guarded (logged and skipped on failure).
+    def guarded(name, fn, default=0.0):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — tunnel weather
+            log(f"{name} SKIPPED after error: {type(e).__name__}: {e}")
+            return default
+
     # ---- secondary: same loop minus text analysis ----------------------
-    pre = [eng.frontend.analyze(b, eng.stats) for b in batches]
     from collections import deque
 
-    t0 = time.perf_counter()
-    inflight = deque()
-    for i in range(iters):
-        slot_h, coeff = pre[i % n_batches]
-        inflight.append(eng._dispatch(slot_h, coeff, k))
-        if len(inflight) >= depth:
+    def run_wo_analysis():
+        pre = [eng.frontend.analyze(b, eng.stats) for b in batches]
+        t0 = time.perf_counter()
+        inflight = deque()
+        for i in range(iters):
+            slot_h, coeff = pre[i % n_batches]
+            inflight.append(eng._dispatch(slot_h, coeff, k))
+            if len(inflight) >= depth:
+                _ = eng._collect(inflight.popleft())
+        while inflight:
             _ = eng._collect(inflight.popleft())
-    while inflight:
-        _ = eng._collect(inflight.popleft())
-    dt1 = time.perf_counter() - t0
-    log(
-        f"serving w/o analysis: {nq*iters/dt1:,.0f} q/s/chip "
-        f"({dt1/iters*1e3:.2f} ms/batch; pre-analyzed slot arrays, "
-        f"plan+stage+H2D+dispatch+D2H)"
-    )
+        dt1 = time.perf_counter() - t0
+        log(
+            f"serving w/o analysis: {nq*iters/dt1:,.0f} q/s/chip "
+            f"({dt1/iters*1e3:.2f} ms/batch; pre-analyzed slot arrays, "
+            f"plan+stage+H2D+dispatch+D2H)"
+        )
+        return pre
+
+    pre = guarded("serving w/o analysis", run_wo_analysis, default=None)
+    if pre is None:
+        pre = [eng.frontend.analyze(b, eng.stats) for b in batches]
 
     # ---- secondary: device step only (fixed staged batch, r01 metric) --
-    import jax.numpy as jnp
-
     from document_search_engine_tpu.engine import engine as engine_mod
 
-    captured = {}
-    real_step = engine_mod._batch_step
+    def run_step_only():
+        captured = {}
+        real_step = engine_mod._batch_step
 
-    def capture_step(*args, **kw):
-        captured["args"], captured["kw"] = args, kw
-        return real_step(*args, **kw)
+        def capture_step(*args, **kw):
+            captured["args"], captured["kw"] = args, kw
+            return real_step(*args, **kw)
 
-    engine_mod._batch_step = capture_step
-    try:
-        fut = eng._dispatch(*pre[0], k)
-        _ = eng._collect(fut)
-    finally:
-        engine_mod._batch_step = real_step
-    args, kw = captured["args"], captured["kw"]
-    t0 = time.perf_counter()
-    inflight = deque()
-    for i in range(iters):
-        inflight.append(real_step(*args, **kw))
-        if len(inflight) >= depth:
+        engine_mod._batch_step = capture_step
+        try:
+            fut = eng._dispatch(*pre[0], k)
+            _ = eng._collect(fut)
+        finally:
+            engine_mod._batch_step = real_step
+        args, kw = captured["args"], captured["kw"]
+        t0 = time.perf_counter()
+        inflight = deque()
+        for i in range(iters):
+            inflight.append(real_step(*args, **kw))
+            if len(inflight) >= depth:
+                _ = np.asarray(inflight.popleft())
+        while inflight:
             _ = np.asarray(inflight.popleft())
-    while inflight:
-        _ = np.asarray(inflight.popleft())
-    dt0 = time.perf_counter() - t0
-    log(
-        f"device step only: {nq*iters/dt0:,.0f} q/s/chip "
-        f"({dt0/iters*1e3:.2f} ms/batch, fixed staged batch, "
-        f"full readback)"
-    )
+        dt0 = time.perf_counter() - t0
+        log(
+            f"device step only: {nq*iters/dt0:,.0f} q/s/chip "
+            f"({dt0/iters*1e3:.2f} ms/batch, fixed staged batch, "
+            f"full readback)"
+        )
+
+    guarded("device step only", run_step_only)
 
     # ---- secondary: the SPMD sharded serving path on the same index ----
     # (round-3 VERDICT #2: "multi-chip corpora return one global ranked
     # list" had zero performance data). One chip exists, so n_shards=1:
     # this prices the SPMD machinery itself — device plan expansion from
     # global-row tables, shard_map, all_gather, replicated merge.
-    sharded_qps = 0.0
-    if os.environ.get("BENCH_SHARDS", "1" if on_tpu else "0") == "1":
+    def run_sharded():
+        sharded_qps = 0.0
         deng = sharded_from_engine(eng, cfg)
         t0 = time.perf_counter()
         deng.preplan(batches, k=k)
@@ -700,11 +738,19 @@ def main():
                 f"{(qps/sharded_qps - 1)*100:+.1f}% "
                 f"(single {qps:,.0f} vs sharded {sharded_qps:,.0f})"
             )
+        return sharded_qps
+
+    sharded_qps = 0.0
+    if os.environ.get("BENCH_SHARDS", "1" if on_tpu else "0") == "1":
+        sharded_qps = guarded("sharded serving", run_sharded)
 
     # ---- secondary: the real jit CSR pack at full scale ----------------
     pack_secs = 0.0
     if os.environ.get("BENCH_PACK", "1" if on_tpu else "0") == "1":
-        pack_secs = bench_device_pack(n_docs, vocab, df_by_row, cfg, eng)
+        pack_secs = guarded(
+            "device CSR pack",
+            lambda: bench_device_pack(n_docs, vocab, df_by_row, cfg, eng),
+        )
 
     print(
         json.dumps(
