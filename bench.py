@@ -512,9 +512,9 @@ def main():
     # program and the remaining batches fit it (round-3 VERDICT #1: the
     # old behavior compiled one ~21 MB program per batch and the driver
     # run spent 272 s shipping them through the tunnel).
-    cache_dir = os.environ.get(
-        "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.jax_cache")
-    )
+    from document_search_engine_tpu.utils.cache import cache_dir as _cd
+
+    cache_dir = _cd()
 
     def cache_snapshot():
         try:

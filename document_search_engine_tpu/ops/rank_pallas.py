@@ -9,13 +9,16 @@ once per query and everything runs on the VPU:
 
 1. merge   — the packed buffer arrives as `n_blocks` aligned runs of
              `block` postings, each already doc-ascending (CSR rows are
-             doc-sorted; sentinel-padded tails sort last). A bitonic
-             merge network (alternating-direction runs; odd runs reversed
-             first) sorts the whole row in O(C * log(C) * log(C/block))
+             doc-sorted; sentinel-padded tails sort last). A merge
+             network sorts the whole row in O(C * log(C) * log(C/block))
              compare-exchanges instead of a full O(C log^2 C) sort.
              `lax.sort` has no Pallas TPU lowering, so the network is
              hand-rolled: every stride is a lane/sublane `pltpu.roll`
-             pair + select (partner index = f XOR stride).
+             pair + select (partner index = f XOR stride). Two schemes
+             (MERGE_FLIP): flip-first mirror half-cleaners (default —
+             merges ascending run pairs directly via one lax.rev group
+             flip per level) or the classic reverse-odd-runs bitonic
+             network; identical outputs, A/B-able via tools/step_ab.py.
 2. run-sum — per-doc score = integer sum of its (<= s, one per slot)
              adjacent contributions: Hillis-Steele segmented scan,
              ceil(log2(s)) shifted passes (sorted rows make segment
@@ -40,6 +43,24 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
+
+# Merge-network scheme for stage 1 (merge_rank_body). True = flip-first
+# mirror half-cleaners: every level L merges two ASCENDING L/2-runs with
+# one lax.rev-based group flip + an elementwise keep (min to the low
+# half in order, max to the high half mirrored — a reversed bitonic
+# sequence is still bitonic), then direction-free ascending
+# half-cleaners at strides L/4..1. Compared with the classic
+# reverse-odd-runs network (False) this removes the log2(block)-pass
+# run-reversal prelude, one xor pass per level, and every
+# direction-mask op — ~20% of the merge stage's vector ops at
+# production shapes (block=128, c_region=4096: 5 flip stages + 45
+# passes x ~12 ops vs 7 reversal passes + 50 x ~13). Both schemes
+# produce identical output (same sorted multiset of (d, ci) pairs;
+# fuzz-pinned, and the whole rank path is order-free int32 after the
+# sort). Module-level so tools/step_ab.py can A/B without edits.
+# Default False until the lax.rev lowering + the win are measured on
+# hardware (the dev tunnel was down when this landed).
+MERGE_FLIP = False
 
 
 def _roll(x, sh: int, axis: int):
@@ -134,9 +155,48 @@ def merge_rank_body(
         y = jnp.where(l_idx >= j, same, prev)
         return jnp.where(f_loc >= j, y, fill)
 
-    # --- stage 1: bitonic merge of the pre-sorted `block`-runs ---------
+    def flip_groups(x, g_rows: int):
+        """Reverse elements within each g_rows*LANES flat group: lanes
+        reversed, rows reversed within g_rows-row groups (lax.rev —
+        probe-measured cheaper than a roll on hardware)."""
+        y = x[:, ::-1]
+        if g_rows > 1:
+            y = y.reshape(r_dim // g_rows, g_rows, LANES)[
+                :, ::-1, :
+            ].reshape(r_dim, LANES)
+        return y
+
+    # --- stage 1: merge of the pre-sorted ascending `block`-runs -------
     n_runs = c_region // block
-    if n_runs >= 2:
+    if n_runs >= 2 and MERGE_FLIP:
+        # flip-first scheme (MERGE_FLIP docstring): at each level the
+        # window holds two ascending L/2-runs; the mirror half-cleaner
+        # pairs position f with its window mirror via ONE group flip,
+        # min lands in the low half in order, max in the high half
+        # mirrored (reversed-bitonic == bitonic), then plain ascending
+        # half-cleaners finish both halves — no run reversal, no
+        # direction masks. Group flips nest inside regions (level <=
+        # c_region and both are pow-2 aligned), so stacking is safe.
+        level = 2 * block
+        while level <= c_region:
+            fd = flip_groups(d, level // LANES)
+            fci = flip_groups(ci, level // LANES)
+            is_low = bit_clear(level // 2)
+            keep = jnp.where(is_low, d <= fd, d >= fd)
+            d = jnp.where(keep, d, fd)
+            ci = jnp.where(keep, ci, fci)
+            kk = level // 4
+            while kk >= 1:
+                pd = xor_perm(d, kk)
+                pci = xor_perm(ci, kk)
+                keep = jnp.where(bit_clear(kk), d <= pd, d >= pd)
+                d = jnp.where(keep, d, pd)
+                ci = jnp.where(keep, ci, pci)
+                kk //= 2
+            level *= 2
+    elif n_runs >= 2:
+        # classic bitonic network, kept for A/B (tools/step_ab.py
+        # mergerev) and as the fallback if a backend lacks lax.rev:
         # reverse odd runs (XOR with block-1, one bit at a time) so runs
         # alternate ascending/descending — each pair is then bitonic
         odd_run = ~bit_clear(block)
@@ -162,7 +222,10 @@ def merge_rank_body(
                 eff = is_low if desc is None else jnp.logical_xor(
                     is_low, desc
                 )
-                keep = (d == pd) | ((d < pd) == eff)
+                # keep-own iff own ranks first for this side; ties keep
+                # both sides in place (== the (d==pd)|((d<pd)==eff)
+                # form, one vector op cheaper)
+                keep = jnp.where(eff, d <= pd, d >= pd)
                 d = jnp.where(keep, d, pd)
                 ci = jnp.where(keep, ci, pci)
                 kk //= 2

@@ -141,3 +141,38 @@ def test_search_packed_ds_with_rank_pallas():
         )
         np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
         np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(ref[1]))
+
+
+def test_merge_flip_schemes_identical():
+    """The flip-first mirror-half-cleaner merge and the classic
+    reverse-odd-runs bitonic network must produce bit-identical ranked
+    output (stage 2/3 are order-free once the buffer is sorted)."""
+    from document_search_engine_tpu.ops import rank_pallas as rp
+
+    rng = np.random.default_rng(41)
+    d, ci = make_block_sorted_rows(
+        rng, nq=8, n_blocks=8, block=256, n_docs=400, s=8
+    )
+    saved = rp.MERGE_FLIP
+    try:
+        outs = {}
+        for flip in (False, True):
+            rp.MERGE_FLIP = flip
+            # MERGE_FLIP is read at trace time and is not part of the
+            # jit cache key — drop cached traces so each scheme is
+            # actually traced (same reason tools/step_ab.py clears)
+            import jax
+
+            jax.clear_caches()
+            outs[flip] = rank_candidates_pallas(
+                jnp.asarray(d), jnp.asarray(ci), jnp.int32(7),
+                block=256, s=8, k=10, n_docs=400, interpret=True,
+            )
+        np.testing.assert_array_equal(
+            np.asarray(outs[False][0]), np.asarray(outs[True][0])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(outs[False][1]), np.asarray(outs[True][1])
+        )
+    finally:
+        rp.MERGE_FLIP = saved

@@ -60,23 +60,47 @@ def merge_stage_count(c_region: int, run: int) -> int:
     return stages
 
 
-def rank_pipeline_passes(c_region: int, run: int, s: int, k: int) -> dict:
+def rank_pipeline_passes(
+    c_region: int, run: int, s: int, k: int, merge_flip: bool | None = None
+) -> dict:
     """Full-array vector-op passes (each touching every element of the
     stacked (q_stack*r_c, 128) buffer once) per pipeline stage, with
     per-stage op weights from the kernel source (ops/rank_pallas.py):
 
+    Classic scheme (MERGE_FLIP=False):
     - odd-run reversal: log2(run) xor_perm passes x 2 arrays, each
       xor_perm = 2 rolls + 1 select = 3 ops (masks precomputed/shared).
-    - merge stage: 2 xor_perms (d, ci) + keep mask (eq, lt, eq-dir, or)
-      + 2 selects ~= 12 ops.
+    - merge stage: 2 xor_perms (d, ci) + keep mask (le, ge, select,
+      + the eff xor on non-final levels) + 2 selects ~= 12 ops.
+
+    Flip scheme (MERGE_FLIP=True): no reversal; per level ONE mirror
+    half-cleaner (2 lax.rev group flips + le/ge/select keep + 2 selects
+    ~= 7 ops) replaces the stride-L/2 xor pass, and the remaining
+    strides are direction-free (~11 ops).
+
+    Shared:
     - run-sum pass (ceil(log2(s))): 2 shift_rights (~4 ops each) +
       eq + select + add ~= 11 ops.
     - top-k extraction (k<=16): per result ~2 tree reductions
       (log2(r_c*128) steps but counted as ~2 full passes each on the
       region) + 3 selects ~= 7 full passes per k.
     """
-    rev = int(math.log2(run)) * 2 * 3
-    merge = merge_stage_count(c_region, run) * 12
+    if merge_flip is None:
+        from document_search_engine_tpu.ops.rank_pallas import MERGE_FLIP
+
+        merge_flip = MERGE_FLIP
+    if merge_flip:
+        rev = 0
+        merge = 0
+        if c_region // run >= 2:
+            level = 2 * run
+            while level <= c_region:
+                merge += 7  # mirror half-cleaner stage
+                merge += (int(math.log2(level)) - 1) * 11
+                level *= 2
+    else:
+        rev = int(math.log2(run)) * 2 * 3
+        merge = merge_stage_count(c_region, run) * 12
     runsum = max(1, math.ceil(math.log2(max(s, 2)))) * 11
     topk = k * 7
     return {"reversal": rev, "merge": merge, "runsum": runsum, "topk": topk}

@@ -19,6 +19,10 @@ module/engine knobs relative to the CURRENT committed defaults, so the
   dv       — scorer="fused_dv" (ops/fused_dv.py: interleaved doc|val
              (X, 256) planes, ONE DMA per block — halves the
              transaction count the roofline flagged)
+  mergeflip / mergerev — rank_pallas.MERGE_FLIP (flip-first mirror
+             half-cleaner merge vs the reverse-odd-runs network; this
+             one DOES require the committed kernel file to carry both
+             paths — the flag only picks between them)
   combos: join with '+', e.g. depth16+stack32.
 
 Method: exactly bench.py's "device step only" protocol — capture the
@@ -103,7 +107,7 @@ def main():
     apply_env_platform()
 
     from document_search_engine_tpu.config import IndexConfig, ScoringConfig
-    from document_search_engine_tpu.ops import fused_pallas
+    from document_search_engine_tpu.ops import fused_pallas, rank_pallas
 
     import bench as B
 
@@ -142,6 +146,7 @@ def main():
     # knob registry: name -> (apply, restore) closures over the module
     # globals / engine fields; defaults snapshot the committed values
     DEF = dict(
+        merge_flip=getattr(rank_pallas, "MERGE_FLIP", True),
         depth=fused_pallas.DEPTH,
         max_stack=fused_pallas.MAX_STACK,
         budget=fused_pallas.STACK_ROWS_BUDGET,
@@ -159,10 +164,15 @@ def main():
                 fused_pallas.STACK_ROWS_BUDGET = 4096
             elif part == "dv":
                 eng.scorer = "fused_dv"
+            elif part == "mergeflip":
+                rank_pallas.MERGE_FLIP = True
+            elif part == "mergerev":
+                rank_pallas.MERGE_FLIP = False
             else:
                 raise SystemExit(f"unknown lever {part!r}")
 
     def restore():
+        rank_pallas.MERGE_FLIP = DEF["merge_flip"]
         fused_pallas.DEPTH = DEF["depth"]
         fused_pallas.MAX_STACK = DEF["max_stack"]
         fused_pallas.STACK_ROWS_BUDGET = DEF["budget"]
