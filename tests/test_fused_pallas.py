@@ -218,3 +218,50 @@ def test_fused_kernel_empty_and_missing_slots():
     )
     np.testing.assert_array_equal(vals, np.asarray(tv))
     np.testing.assert_array_equal(gids, np.asarray(tg))
+
+
+def test_fused_merge_flip_stacked_regions():
+    """MERGE_FLIP=True through the FUSED stacked path (q_regions > 1):
+    the mirror half-cleaner's group flips must stay inside each stacked
+    query's region (level <= c_region, both pow-2 aligned) — run the
+    compaction fuzz shape with empty queries stacked between real ones
+    and pin bit-identity against the gather-path reference."""
+    import jax
+
+    from document_search_engine_tpu.ops import rank_pallas as rp
+
+    rng = np.random.default_rng(7)
+    n_terms, n_docs = 30, 5000
+    indptr, post_doc, post_val, nnz = _csr(rng, n_terms, n_docs, 3000)
+    d2, v2, row_start = make_aligned(indptr, post_doc, post_val, n_docs)
+    nq, s, blocksize = 8, 4, 1024
+    rows = rng.integers(0, n_terms, (nq, s)).astype(np.int32)
+    coeff = rng.random((nq, s)).astype(np.float32) * 1.5
+    coeff[rng.random((nq, s)) < 0.4] = 0.0
+    coeff[0] = 0.0
+    scale = float(np.float32(2.0**16))
+    clip = float(np.float32(65075262.0))
+    nb = block_plan(indptr, rows, coeff > 0, block=blocksize)
+    c = total_cap(indptr, rows, coeff > 0)
+    pd = np.concatenate([post_doc, np.full(blocksize, n_docs, np.int32)])
+    pv = np.concatenate([post_val, np.zeros(blocksize, np.float32)])
+    ref = search_packed(
+        jnp.asarray(indptr), jnp.asarray(pd), jnp.asarray(pv),
+        jnp.asarray(rows), jnp.asarray(coeff),
+        jnp.float32(scale), jnp.float32(clip), jnp.int32(0),
+        c_total=c, k=10, n_docs=n_docs,
+    )
+    saved = rp.MERGE_FLIP
+    try:
+        rp.MERGE_FLIP = True
+        jax.clear_caches()  # MERGE_FLIP is a trace-time global
+        got = fused_search(
+            jnp.asarray(d2), jnp.asarray(v2), row_start, indptr,
+            rows, coeff, doc_base=0, n_blocks=nb, block=blocksize,
+            k=10, n_docs=n_docs, scale=scale, clip=clip, interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
+        np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(ref[1]))
+    finally:
+        rp.MERGE_FLIP = saved
+        jax.clear_caches()
