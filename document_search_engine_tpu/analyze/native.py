@@ -120,6 +120,32 @@ def _lib():
             ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_uint8),
         ]
+    if hasattr(lib, "dse_hash_build"):
+        lib.dse_hash_build.restype = None
+        lib.dse_hash_build.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int32,
+            ctypes.c_void_p,
+        ]
+        lib.dse_analyze_queries_hash.restype = None
+        lib.dse_analyze_queries_hash.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_void_p,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
     _LIB = lib
     return lib
 
@@ -241,6 +267,79 @@ def analyze_queries(
         prefix_start.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         prefix_bits,
         idf_by_row.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        s,
+        0 if kind == "bm25" else 1,
+        out_h.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        out_a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out_r.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out_f.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        overflow.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out_h, out_a, out_r, out_f.view(bool), overflow
+
+
+def hash_lookup_available() -> bool:
+    lib = _lib()
+    return lib is not None and hasattr(lib, "dse_hash_build")
+
+
+# one VocabEntry per 16 bytes: {u64 key, i32 row, f32 idf} (analyzer.cpp)
+VOCAB_ENTRY_DTYPE = np.dtype(
+    [("key", "<u8"), ("row", "<i4"), ("idf", "<f4")]
+)
+
+
+def hash_build(vocab: np.ndarray, idf_by_row: np.ndarray):
+    """Flat open-addressing vocab table (analyzer.cpp dse_hash_build):
+    one 16-byte entry holds (hash, row, idf), linear probing at load
+    factor <= 0.5. Returns (table, log2n). Built once per stats refresh;
+    the serving frontend's lookup+idf gather is then ONE expected cache
+    miss per token instead of the prefix-table path's ~3 dependent
+    ones."""
+    lib = _lib()
+    n_vocab = len(vocab)
+    log2n = max(4, int(np.ceil(np.log2(max(n_vocab, 1) * 2))))
+    table = np.empty(1 << log2n, VOCAB_ENTRY_DTYPE)
+    vocab = np.ascontiguousarray(vocab, dtype=np.uint64)
+    idf_by_row = np.ascontiguousarray(idf_by_row, dtype=np.float32)
+    lib.dse_hash_build(
+        vocab.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        n_vocab,
+        idf_by_row.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        log2n,
+        table.ctypes.data,
+    )
+    return table, log2n
+
+
+def analyze_queries_hash(
+    texts,  # list[str], MUST be all-ASCII (caller checks)
+    config: AnalyzerConfig,
+    table: np.ndarray,  # from hash_build
+    log2n: int,
+    s: int,
+    kind: str,
+):
+    """analyze_queries with the flat hash-table lookup — identical
+    output bits (same tokenizer/slot order/f32 operation order; idf
+    gathered from the same numpy-precomputed values, stored in the
+    table)."""
+    lib = _lib()
+    nq = len(texts)
+    buf, offs = _buf_offs(texts)
+    out_h = np.zeros((nq, s), np.uint64)
+    out_a = np.zeros((nq, s), np.float32)
+    out_r = np.zeros((nq, s), np.int32)
+    out_f = np.zeros((nq, s), np.uint8)
+    overflow = np.zeros(nq, np.uint8)
+    lib.dse_analyze_queries_hash(
+        buf,
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        nq,
+        config.min_token_len,
+        config.max_token_len,
+        table.ctypes.data,
+        log2n,
         s,
         0 if kind == "bm25" else 1,
         out_h.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),

@@ -102,19 +102,31 @@ class QueryFrontend:
                 ascii_all = ("".join(queries)).isascii()
             if ascii_all:
                 kind = self.config.scoring.kind
-                vocab_c, starts, bits = stats.prefix_table()
-                out_h, out_a, out_r, out_f, overflow = (
-                    native.analyze_queries(
-                        queries,
-                        self.config.analyzer,
-                        vocab_c,
-                        starts,
-                        bits,
-                        stats.idf_by_row(kind),
-                        s,
-                        kind,
+                if native.hash_lookup_available():
+                    # flat hash-table lookup: ~1 overlapped cache miss
+                    # per token (vs ~3 dependent ones for the
+                    # prefix-table binary search); identical bits
+                    table, log2n = stats.hash_table(kind)
+                    out_h, out_a, out_r, out_f, overflow = (
+                        native.analyze_queries_hash(
+                            queries, self.config.analyzer, table,
+                            log2n, s, kind,
+                        )
                     )
-                )
+                else:
+                    vocab_c, starts, bits = stats.prefix_table()
+                    out_h, out_a, out_r, out_f, overflow = (
+                        native.analyze_queries(
+                            queries,
+                            self.config.analyzer,
+                            vocab_c,
+                            starts,
+                            bits,
+                            stats.idf_by_row(kind),
+                            s,
+                            kind,
+                        )
+                    )
                 return self._finish_slow_rows(
                     queries, stats, s, np.nonzero(overflow)[0],
                     out_h, out_a, out_r, out_f,

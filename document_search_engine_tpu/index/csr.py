@@ -175,6 +175,25 @@ class GlobalStats:
             object.__setattr__(self, "_prefix_tbl", tbl)
         return tbl
 
+    def hash_table(self, kind: str):
+        """(table, log2n) flat open-addressing vocab table holding
+        (hash, row, idf-of-kind) in one 16-byte entry per term
+        (native.hash_build) — the serving frontend's one-miss-per-token
+        lookup. Cached per stats object per kind (stats are recreated
+        on every refresh, so the cache can never go stale)."""
+        from ..analyze import native
+
+        cache = getattr(self, "_hash_tbl", None)
+        if cache is None:
+            cache = {}
+            object.__setattr__(self, "_hash_tbl", cache)
+        t = cache.get(kind)
+        if t is None:
+            t = cache[kind] = native.hash_build(
+                self.vocab, self.idf_by_row(kind)
+            )
+        return t
+
     def idf_by_row(self, kind: str) -> np.ndarray:
         """f32 idf per vocab row — spec.idf_of over the full df array,
         precomputed in NUMPY (np.log's f32 SIMD need not match libm

@@ -240,6 +240,50 @@ void dse_query_slots(const uint64_t *hashes, const int32_t *tfs,
   }
 }
 
+// ---------------------------------------------------------------------
+// Flat open-addressing vocab table: one 16-byte entry holds the term
+// hash, its vocab row, and its (numpy-precomputed) f32 idf, so the
+// serving frontend's lookup+gather is ONE expected cache miss per
+// token instead of the prefix-table path's ~3 dependent ones
+// (prefix_start line, 1-2 vocab probes, idf_by_row line) — the lookup
+// is memory-latency-bound at production vocab sizes. Linear probing at
+// load factor <= 0.5; slot index from a multiplicative mix of the FNV
+// hash (FNV-1a's high bits avalanche weakly); row == -1 marks empty.
+// Built once per stats refresh (GlobalStats.hash_table).
+
+struct VocabEntry {
+  uint64_t key;
+  int32_t row;
+  float idf;
+};
+static_assert(sizeof(VocabEntry) == 16, "VocabEntry must be 16 bytes");
+
+namespace {
+
+constexpr uint64_t kMix = 0x9E3779B97F4A7C15ULL;
+
+inline uint64_t slot_of(uint64_t x, int log2n) {
+  return (x * kMix) >> (64 - log2n);
+}
+
+}  // namespace
+
+extern "C" void dse_hash_build(const uint64_t *vocab, int64_t n_vocab,
+                               const float *idf_by_row, int32_t log2n,
+                               VocabEntry *table) {
+  const int64_t n = int64_t{1} << log2n;
+  const uint64_t mask = static_cast<uint64_t>(n - 1);
+  for (int64_t i = 0; i < n; ++i) table[i].row = -1;
+  for (int64_t r = 0; r < n_vocab; ++r) {
+    const uint64_t x = vocab[r];
+    uint64_t i = slot_of(x, log2n);
+    while (table[i].row != -1) i = (i + 1) & mask;
+    table[i].key = x;
+    table[i].row = static_cast<int32_t>(r);
+    table[i].idf = idf_by_row[r];
+  }
+}
+
 // Fully-fused serving frontend: raw ASCII query text -> slot arrays in
 // ONE pass (tokenize + FNV-1a64 + per-query sort/uniq + prefix-table
 // vocab lookup + idf gather + f32 query coefficients). Combines
@@ -320,6 +364,114 @@ void dse_analyze_queries(const char *buf, const int64_t *offs, int64_t nq,
       }
       ++w;
       i = j;
+    }
+    if (kind != 0 && w > 0) {
+      float acc = 0.0f;
+      for (int64_t t = 0; t < w; ++t) {
+        const float v = qw[t];
+        acc = acc + v * v;
+      }
+      const float qnorm = std::sqrt(acc);
+      for (int64_t t = 0; t < w; ++t) {
+        float a = (qnorm == 0.0f) ? 0.0f : (qw[t] / qnorm) * idfs[t];
+        oa[t] = (idfs[t] == 0.0f) ? 0.0f : a;
+      }
+    }
+  }
+}
+
+// dse_analyze_queries with the flat hash-table lookup (dse_hash_build)
+// instead of the prefix-table binary search. Identical output bits:
+// same tokenizer, same sort/uniq slot order, idf gathered from the
+// same numpy-precomputed values (stored in the table), same f32
+// operation order (contraction off). A first pass over each query's
+// unique terms computes + prefetches every term's table line, so the
+// per-token misses overlap instead of serializing.
+void dse_analyze_queries_hash(const char *buf, const int64_t *offs,
+                              int64_t nq, int32_t min_len, int32_t max_len,
+                              const VocabEntry *table, int32_t log2n,
+                              int32_t s,
+                              int32_t kind, uint64_t *out_h, float *out_a,
+                              int32_t *out_r, uint8_t *out_f,
+                              uint8_t *overflow) {
+  const uint64_t mask = (uint64_t{1} << log2n) - 1;
+  std::vector<uint64_t> scratch;
+  std::vector<uint64_t> keys(static_cast<size_t>(s));
+  std::vector<int32_t> tfs(static_cast<size_t>(s));
+  std::vector<uint64_t> idx(static_cast<size_t>(s));
+  std::vector<float> qw(static_cast<size_t>(s));
+  std::vector<float> idfs(static_cast<size_t>(s));
+  for (int64_t q = 0; q < nq; ++q) {
+    const char *p = buf + offs[q];
+    const char *end = buf + offs[q + 1];
+    scratch.clear();
+    uint64_t h = kFnvOffset;
+    int64_t run = 0;
+    unsigned char lowered;
+    for (; p < end; ++p) {
+      if (is_alnum_lower(static_cast<unsigned char>(*p), lowered)) {
+        h = (h ^ lowered) * kFnvPrime;
+        ++run;
+      } else if (run) {
+        if (run >= min_len && run <= max_len) scratch.push_back(h);
+        h = kFnvOffset;
+        run = 0;
+      }
+    }
+    if (run && run >= min_len && run <= max_len) scratch.push_back(h);
+    if (scratch.empty()) continue;
+    std::sort(scratch.begin(), scratch.end());
+    int64_t uniq = 1;
+    for (size_t i = 1; i < scratch.size(); ++i)
+      uniq += scratch[i] != scratch[i - 1];
+    if (uniq > s) {
+      overflow[q] = 1;
+      continue;
+    }
+    // uniq pass + prefetch every term's table line up front
+    int64_t w = 0;
+    size_t i = 0;
+    while (i < scratch.size()) {
+      const uint64_t x = scratch[i];
+      size_t j = i + 1;
+      while (j < scratch.size() && scratch[j] == x) ++j;
+      keys[w] = x;
+      tfs[w] = static_cast<int32_t>(j - i);
+      const uint64_t ix = slot_of(x, log2n);
+      idx[w] = ix;
+      __builtin_prefetch(&table[ix], 0, 1);
+      ++w;
+      i = j;
+    }
+    uint64_t *oh = out_h + q * s;
+    float *oa = out_a + q * s;
+    int32_t *orow = out_r + q * s;
+    uint8_t *of = out_f + q * s;
+    for (int64_t t = 0; t < w; ++t) {
+      const uint64_t x = keys[t];
+      uint64_t ix = idx[t];
+      int32_t row = -1;
+      float idf = 0.0f;
+      while (table[ix].row != -1) {
+        if (table[ix].key == x) {
+          row = table[ix].row;
+          idf = table[ix].idf;
+          break;
+        }
+        ix = (ix + 1) & mask;
+      }
+      const bool found = row >= 0;
+      oh[t] = x;
+      orow[t] = found ? row : 0;
+      of[t] = found ? 1 : 0;
+      const float tf_f = static_cast<float>(tfs[t]);
+      if (kind == 0) {
+        const float a = tf_f * idf;
+        oa[t] = (idf == 0.0f) ? 0.0f : a;
+      } else {
+        qw[t] = tf_f * idf;
+        idfs[t] = idf;
+      }
     }
     if (kind != 0 && w > 0) {
       float acc = 0.0f;

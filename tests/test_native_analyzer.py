@@ -172,3 +172,52 @@ def test_analyze_queries_fused_matches_fallback_paths():
                         np.testing.assert_array_equal(
                             a, b, f"{kind}/{name}/{f}"
                         )
+
+
+@needs_native
+def test_analyze_queries_hash_matches_prefix_path():
+    """The flat hash-table frontend (dse_hash_build +
+    dse_analyze_queries_hash) must be bit-identical to the prefix-table
+    fused pass on the same batches — same slots, rows, found masks and
+    f32 coeff bits — including unknown terms, repeats, empties and
+    slot-overflow rows."""
+    from document_search_engine_tpu.analyze.hashing import TermHasher
+    from document_search_engine_tpu.config import ScoringConfig
+    from document_search_engine_tpu.engine.query import QueryFrontend
+    from document_search_engine_tpu.index.csr import GlobalStats
+
+    if not native.hash_lookup_available():
+        pytest.skip("committed .so predates dse_hash_build")
+    rng = np.random.default_rng(23)
+    V = 7000
+    tokens = [f"term{i:05d}" for i in range(V)]
+    vocab = np.sort(TermHasher().hash_tokens(tokens))
+    df = rng.integers(0, 900, V).astype(np.int32)
+    qrows = rng.integers(0, V, (64, 5))
+    batch = [" ".join(tokens[r] for r in qr) for qr in qrows]
+    batch += [
+        "",
+        "unknownword anotherunknown",
+        "term00004 term00004 term00004 term00009",
+        " ".join(tokens[100:150]),  # overflow
+    ]
+    for kind in ("bm25", "tfidf"):
+        stats = GlobalStats(
+            vocab=vocab, df=df, n_alive=9000, total_len_alive=300000
+        )
+        cfg = IndexConfig(scoring=ScoringConfig(kind=kind))
+        fe = QueryFrontend(cfg)
+        got = fe.analyze_rows(batch, stats)  # hash path
+        orig = native.hash_lookup_available
+        native.hash_lookup_available = lambda: False
+        try:
+            ref = fe.analyze_rows(batch, stats)  # prefix-fused path
+        finally:
+            native.hash_lookup_available = orig
+        for a, b, f in zip(got, ref, ("h", "a", "r", "f")):
+            if f == "a":
+                np.testing.assert_array_equal(
+                    a.view(np.uint32), b.view(np.uint32), f"{kind}/{f}"
+                )
+            else:
+                np.testing.assert_array_equal(a, b, f"{kind}/{f}")
