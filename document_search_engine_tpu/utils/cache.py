@@ -2,59 +2,49 @@
 
 On the axon platform the first execution of each compiled graph pays a
 remote compile/load round-trip measured in minutes; the persistent cache
-cuts repeat runs to milliseconds. Called by bench.py, the CLI, and
-__graft_entry__ before any jit executes.
+cuts repeat runs to milliseconds. Called by bench.py, the CLI, and the
+tools/ scripts before any jit executes.
+
+The cache is TPU-only by design. XLA:CPU serialized executables embed
+the compile machine's ISA (avx512fp16, amx, ...); loading one on a host
+without those features warns and then SIGILLs mid-run (observed: a cache
+written on an amx host crashed test_sharded elsewhere), and writing them
+segfaulted twice in compilation_cache.put_executable_and_time during the
+CPU test suite. CPU compiles are seconds anyway — the cache's reason to
+exist is the minutes-per-graph axon tunnel. enable_persistent_cache
+therefore refuses to enable on a CPU backend, checking both the
+JAX_PLATFORMS request and (for the silent axon->cpu fallback case when
+the tunnel is down) the actually-initialized backend, so the shared
+cache dir only ever holds host-independent TPU executables.
 """
 from __future__ import annotations
 
-import hashlib
 import os
-import platform
 
 _DEFAULT = os.path.expanduser("~/.jax_cache")
 
 
-def _host_fingerprint() -> str:
-    """Short hash of the host's CPU features + kernel. XLA:CPU AOT
-    executables embed the compile machine's ISA (avx512fp16, amx, ...);
-    loading them on a host without those features warns and then
-    SIGILLs/SIGSEGVs mid-run (observed: cache written on an
-    amx/avx512fp16 host crashed test_sharded on a host without them).
-    The TPU executables are host-independent, but a per-host cache dir
-    is the only split that also protects the axon->cpu fallback path."""
-    try:
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith("flags"):
-                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
-                    break
-            else:
-                feats = platform.machine()
-    except OSError:
-        feats = platform.machine()
-    return hashlib.sha1(feats.encode()).hexdigest()[:12]
-
-
 def cache_dir(path: str | None = None) -> str:
-    """The resolved per-host cache directory (see _host_fingerprint)."""
-    path = path or os.environ.get("JAX_COMPILATION_CACHE_DIR", _DEFAULT)
-    return os.path.join(path, f"h-{_host_fingerprint()}")
+    """The resolved cache directory (shared across processes/hosts;
+    TPU executables only — see module docstring)."""
+    return path or os.environ.get("JAX_COMPILATION_CACHE_DIR", _DEFAULT)
 
 
 def enable_persistent_cache(path: str | None = None) -> None:
     import jax
 
-    # CPU backend: skip. Compiles are seconds (vs minutes through the
-    # axon tunnel, the cache's reason to exist), and writing XLA:CPU
-    # executables segfaulted twice in compilation_cache
-    # .put_executable_and_time during the full test suite on this host
-    # (the in-process CLI test enables the cache for the rest of the
-    # session; the 8-virtual-device shard_map program crashed the
-    # process mid-serialize).
     plats = os.environ.get("JAX_PLATFORMS", "") or str(
         getattr(jax.config, "jax_platforms", "") or ""
     )
     if plats.split(",")[0].strip() == "cpu":
+        return
+    try:
+        # initializes the backend (which every caller does moments
+        # later anyway); catches the silent cpu fallback when the
+        # tunnel is down and JAX_PLATFORMS is unset
+        if jax.default_backend() == "cpu":
+            return
+    except Exception:
         return
 
     path = cache_dir(path)
