@@ -129,6 +129,22 @@ def _lib():
             ctypes.c_int32,
             ctypes.c_void_p,
         ]
+        lib.dse_hash_unique.restype = ctypes.c_int64
+        lib.dse_hash_unique.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_uint64),
+        ]
+        lib.dse_hash_lookup.restype = None
+        lib.dse_hash_lookup.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
         lib.dse_analyze_queries_hash.restype = None
         lib.dse_analyze_queries_hash.argtypes = [
             ctypes.c_char_p,
@@ -310,6 +326,53 @@ def hash_build(vocab: np.ndarray, idf_by_row: np.ndarray):
         table.ctypes.data,
     )
     return table, log2n
+
+
+def unique_inverse(values: np.ndarray):
+    """np.unique(values, return_inverse=True) for uint64 arrays via the
+    flat hash table: one O(n) insert pass emits the unique keys (sorted
+    host-side — they are few), then dse_hash_build + a prefetch-
+    pipelined bulk lookup produce each value's sorted-vocab row. ~2-3x
+    over numpy's argsort-based unique at index-build sizes (millions of
+    postings hashes, ~1 expected cache miss per value per pass).
+    Returns (vocab uint64 ascending, rows int32)."""
+    lib = _lib()
+    n = len(values)
+    values = np.ascontiguousarray(values, dtype=np.uint64)
+    # start sized for the typical vocab << postings ratio; grow on the
+    # rare half-full signal (-1)
+    log2n = max(10, int(np.ceil(np.log2(max(n // 8, 2)))))
+    while True:
+        table = np.empty(1 << log2n, VOCAB_ENTRY_DTYPE)
+        uniq = np.empty(1 << (log2n - 1), np.uint64)
+        cnt = lib.dse_hash_unique(
+            values.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            n,
+            log2n,
+            table.ctypes.data,
+            uniq.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        )
+        if cnt >= 0:
+            break
+        log2n += 1
+    vocab = np.sort(uniq[:cnt])
+    zeros = np.zeros(cnt, np.float32)
+    lib.dse_hash_build(
+        vocab.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        cnt,
+        zeros.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        log2n,
+        table.ctypes.data,
+    )
+    rows = np.empty(n, np.int32)
+    lib.dse_hash_lookup(
+        table.ctypes.data,
+        log2n,
+        values.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        n,
+        rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return vocab, rows
 
 
 def analyze_queries_hash(

@@ -139,10 +139,22 @@ def analyze_texts_fast(texts, config: IndexConfig) -> AnalyzedDocs:
 
 
 def segment_vocab(analyzed: AnalyzedDocs):
-    """(vocab uint64 sorted, rows int32 per posting, df int32 per term)."""
-    vocab, rows = np.unique(analyzed.hashes, return_inverse=True)
+    """(vocab uint64 sorted, rows int32 per posting, df int32 per term).
+
+    The hash-table unique (analyze/native.unique_inverse) replaces
+    numpy's argsort-based np.unique(return_inverse) on the build hot
+    path — O(n) hash passes instead of O(n log n) over the postings
+    hashes (~30% of 60k-doc host build time profiled). Identical output
+    (tested): same sorted vocab, same rows."""
+    from ..analyze import native
+
+    if len(analyzed.hashes) >= 65536 and native.hash_lookup_available():
+        vocab, rows = native.unique_inverse(analyzed.hashes)
+    else:
+        vocab, rows64 = np.unique(analyzed.hashes, return_inverse=True)
+        rows = rows64.astype(np.int32)
     df = np.bincount(rows, minlength=len(vocab)).astype(np.int32)
-    return vocab, rows.astype(np.int32), df
+    return vocab, rows, df
 
 
 def host_pack(rows, docs, tfs, n_terms, n_docs):
@@ -384,7 +396,7 @@ def doc_inv_norms(
     n = analyzed.n_docs
     out = np.zeros(n, dtype=F32)
     idf_g = spec.idf_of(kind, stats.n_alive, stats.df)
-    rows_g = lookup_sorted(stats.vocab, analyzed.hashes)
+    rows_g = stats.lookup(analyzed.hashes)  # native-accelerated search
     w_all = spec.doc_weights_tfidf(analyzed.tfs, idf_g[rows_g])
     ptr = analyzed.doc_ptr
     for c0 in range(0, n, chunk):

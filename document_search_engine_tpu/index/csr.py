@@ -231,7 +231,12 @@ def merge_stats(segments) -> GlobalStats:
         )
     allv = np.concatenate(vocabs)
     alld = np.concatenate([s.df for s in segments]).astype(np.int64)
-    vocab, inv = np.unique(allv, return_inverse=True)
+    from ..analyze import native
+
+    if len(allv) >= 65536 and native.hash_lookup_available():
+        vocab, inv = native.unique_inverse(allv)  # == np.unique (tested)
+    else:
+        vocab, inv = np.unique(allv, return_inverse=True)
     df = np.zeros(len(vocab), dtype=np.int64)
     np.add.at(df, inv, alld)
     return GlobalStats(

@@ -398,7 +398,7 @@ def _build_sharded_from_parts(parts, config: IndexConfig, mesh: Mesh):
         nnz = len(a.hashes)
         if nnz == 0:
             continue
-        rows_st[i, :nnz] = lookup_sorted(stats.vocab, a.hashes)
+        rows_st[i, :nnz] = stats.lookup(a.hashes)  # native-accelerated
         docs_st[i, :nnz] = np.repeat(
             np.arange(a.n_docs, dtype=np.int32),
             np.diff(a.doc_ptr).astype(np.int64),

@@ -380,6 +380,67 @@ void dse_analyze_queries(const char *buf, const int64_t *offs, int64_t nq,
   }
 }
 
+// Hash-set unique for the index-build path: insert every value into
+// `table` (entries reused as {key, row=1} presence markers), emitting
+// first occurrences to out_uniq unsorted. Returns the unique count, or
+// -1 if it would exceed half the table capacity (caller retries with a
+// bigger log2n). Replaces np.unique's O(n log n) argsort over the
+// segment's postings hashes with one O(n) pass (~1 expected cache miss
+// per value) — the vocab itself (the unique keys) is tiny and sorts in
+// microseconds host-side afterwards.
+int64_t dse_hash_unique(const uint64_t *vals, int64_t n, int32_t log2n,
+                        VocabEntry *table, uint64_t *out_uniq) {
+  const int64_t cap = int64_t{1} << log2n;
+  const uint64_t mask = static_cast<uint64_t>(cap - 1);
+  const int64_t limit = cap >> 1;
+  for (int64_t i = 0; i < cap; ++i) table[i].row = -1;
+  int64_t cnt = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const uint64_t x = vals[i];
+    uint64_t ix = slot_of(x, log2n);
+    while (true) {
+      if (table[ix].row == -1) {
+        if (cnt >= limit) return -1;
+        table[ix].key = x;
+        table[ix].row = 1;
+        out_uniq[cnt++] = x;
+        break;
+      }
+      if (table[ix].key == x) break;
+      ix = (ix + 1) & mask;
+    }
+  }
+  return cnt;
+}
+
+// Bulk row lookup against a dse_hash_build table: out_rows[i] = vocab
+// row of needles[i], or -1 if absent. A software-pipelined prefetch
+// window keeps ~8 probes in flight (the probe stream is
+// memory-latency-bound).
+void dse_hash_lookup(const VocabEntry *table, int32_t log2n,
+                     const uint64_t *needles, int64_t n,
+                     int32_t *out_rows) {
+  const uint64_t mask = (uint64_t{1} << log2n) - 1;
+  constexpr int64_t W = 8;
+  for (int64_t i = 0; i < n && i < W; ++i)
+    __builtin_prefetch(&table[slot_of(needles[i], log2n)], 0, 1);
+  for (int64_t i = 0; i < n; ++i) {
+    if (i + W < n)
+      __builtin_prefetch(&table[slot_of(needles[i + W], log2n)], 0, 1);
+    const uint64_t x = needles[i];
+    uint64_t ix = slot_of(x, log2n);
+    int32_t row = -1;
+    while (table[ix].row != -1) {
+      if (table[ix].key == x) {
+        row = table[ix].row;
+        break;
+      }
+      ix = (ix + 1) & mask;
+    }
+    out_rows[i] = row;
+  }
+}
+
 // dse_analyze_queries with the flat hash-table lookup (dse_hash_build)
 // instead of the prefix-table binary search. Identical output bits:
 // same tokenizer, same sort/uniq slot order, idf gathered from the

@@ -221,3 +221,26 @@ def test_analyze_queries_hash_matches_prefix_path():
                 )
             else:
                 np.testing.assert_array_equal(a, b, f"{kind}/{f}")
+
+
+@needs_native
+def test_unique_inverse_matches_numpy():
+    """native.unique_inverse must equal np.unique(return_inverse=True)
+    exactly — sorted vocab and per-value rows — across duplicate-heavy,
+    near-unique, tiny and grow-path (load > half table) distributions."""
+    if not native.hash_lookup_available():
+        pytest.skip("committed .so predates dse_hash_unique")
+    rng = np.random.default_rng(29)
+    cases = [(120000, 9000), (70000, 70000), (4096, 17), (100000, 100000)]
+    for n, pool in cases:
+        vals = rng.integers(0, 2**64, pool, dtype=np.uint64)[
+            rng.integers(0, pool, n)
+        ]
+        v1, r1 = native.unique_inverse(vals)
+        v2, r2 = np.unique(vals, return_inverse=True)
+        np.testing.assert_array_equal(v1, v2, f"vocab n={n} pool={pool}")
+        np.testing.assert_array_equal(
+            r1, r2.astype(np.int32), f"rows n={n} pool={pool}"
+        )
+    v1, r1 = native.unique_inverse(np.zeros(0, np.uint64))
+    assert len(v1) == 0 and len(r1) == 0
