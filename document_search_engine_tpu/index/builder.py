@@ -149,11 +149,13 @@ def segment_vocab(analyzed: AnalyzedDocs):
     from ..analyze import native
 
     if len(analyzed.hashes) >= 65536 and native.hash_lookup_available():
-        vocab, rows = native.unique_inverse(analyzed.hashes)
+        vocab, rows, df = native.unique_inverse(
+            analyzed.hashes, counts=True
+        )
     else:
         vocab, rows64 = np.unique(analyzed.hashes, return_inverse=True)
         rows = rows64.astype(np.int32)
-    df = np.bincount(rows, minlength=len(vocab)).astype(np.int32)
+        df = np.bincount(rows, minlength=len(vocab)).astype(np.int32)
     return vocab, rows, df
 
 

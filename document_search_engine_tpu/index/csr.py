@@ -237,8 +237,11 @@ def merge_stats(segments) -> GlobalStats:
         vocab, inv = native.unique_inverse(allv)  # == np.unique (tested)
     else:
         vocab, inv = np.unique(allv, return_inverse=True)
-    df = np.zeros(len(vocab), dtype=np.int64)
-    np.add.at(df, inv, alld)
+    # weighted bincount beats np.add.at ~10x; f64 weights are exact for
+    # df magnitudes (integers < 2^53)
+    df = np.bincount(
+        inv, weights=alld.astype(np.float64), minlength=len(vocab)
+    ).astype(np.int64)
     return GlobalStats(
         vocab=vocab,
         df=df.astype(np.int32),

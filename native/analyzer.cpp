@@ -416,10 +416,12 @@ int64_t dse_hash_unique(const uint64_t *vals, int64_t n, int32_t log2n,
 // Bulk row lookup against a dse_hash_build table: out_rows[i] = vocab
 // row of needles[i], or -1 if absent. A software-pipelined prefetch
 // window keeps ~8 probes in flight (the probe stream is
-// memory-latency-bound).
+// memory-latency-bound). If out_df is non-null it accumulates
+// occurrence counts per row in the same pass (numpy's bincount pays an
+// int32->intp copy of the whole rows array otherwise).
 void dse_hash_lookup(const VocabEntry *table, int32_t log2n,
                      const uint64_t *needles, int64_t n,
-                     int32_t *out_rows) {
+                     int32_t *out_rows, int32_t *out_df) {
   const uint64_t mask = (uint64_t{1} << log2n) - 1;
   constexpr int64_t W = 8;
   for (int64_t i = 0; i < n && i < W; ++i)
@@ -438,6 +440,7 @@ void dse_hash_lookup(const VocabEntry *table, int32_t log2n,
       ix = (ix + 1) & mask;
     }
     out_rows[i] = row;
+    if (out_df && row >= 0) ++out_df[row];
   }
 }
 

@@ -236,11 +236,16 @@ def test_unique_inverse_matches_numpy():
         vals = rng.integers(0, 2**64, pool, dtype=np.uint64)[
             rng.integers(0, pool, n)
         ]
-        v1, r1 = native.unique_inverse(vals)
-        v2, r2 = np.unique(vals, return_inverse=True)
+        v1, r1, c1 = native.unique_inverse(vals, counts=True)
+        v2, r2, c2 = np.unique(
+            vals, return_inverse=True, return_counts=True
+        )
         np.testing.assert_array_equal(v1, v2, f"vocab n={n} pool={pool}")
         np.testing.assert_array_equal(
             r1, r2.astype(np.int32), f"rows n={n} pool={pool}"
+        )
+        np.testing.assert_array_equal(
+            c1, c2.astype(np.int32), f"counts n={n} pool={pool}"
         )
     v1, r1 = native.unique_inverse(np.zeros(0, np.uint64))
     assert len(v1) == 0 and len(r1) == 0
