@@ -129,6 +129,19 @@ def _lib():
             ctypes.c_int32,
             ctypes.c_void_p,
         ]
+        lib.dse_analyze_docs_mt.restype = ctypes.c_int64
+        lib.dse_analyze_docs_mt.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         lib.dse_hash_unique.restype = ctypes.c_int64
         lib.dse_hash_unique.argtypes = [
             ctypes.POINTER(ctypes.c_uint64),
@@ -499,13 +512,28 @@ def analyze_batch_ascii(texts, config: AnalyzerConfig):
     tfs = np.zeros(int(total), np.int32)
     n_terms = np.zeros(n, np.int64)
     dl = np.zeros(n, np.int64)
-    w = lib.dse_analyze_docs(
-        buf, c_offs, n, config.min_token_len, config.max_token_len,
-        hashes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
-        tfs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        n_terms.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        dl.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-    )
+    if hasattr(lib, "dse_analyze_docs_mt"):
+        # threaded over token-balanced doc ranges (DSE_NATIVE_THREADS /
+        # hardware_concurrency; identical output to the serial path,
+        # tested). tok_ptr reuses pass 1's per-doc token counts.
+        tok_ptr = np.zeros(n + 1, np.int64)
+        np.cumsum(dl_tmp, out=tok_ptr[1:])
+        w = lib.dse_analyze_docs_mt(
+            buf, c_offs, n, config.min_token_len, config.max_token_len,
+            tok_ptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            hashes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            tfs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            n_terms.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            dl.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+    else:
+        w = lib.dse_analyze_docs(
+            buf, c_offs, n, config.min_token_len, config.max_token_len,
+            hashes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            tfs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            n_terms.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            dl.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
     doc_ptr = np.zeros(n + 1, np.int64)
     np.cumsum(n_terms, out=doc_ptr[1:])
     return hashes[: int(w)], tfs[: int(w)], doc_ptr, dl

@@ -14,6 +14,9 @@
 #include <cmath>
 #include <cstdint>
 #include <cstddef>
+#include <cstdlib>
+#include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -26,6 +29,23 @@ inline bool is_alnum_lower(unsigned char c, unsigned char &lowered) {
   if (c >= 'a' && c <= 'z') { lowered = c; return true; }
   if (c >= 'A' && c <= 'Z') { lowered = static_cast<unsigned char>(c + 32); return true; }
   return false;
+}
+
+// Worker-thread count for the batch entry points: DSE_NATIVE_THREADS
+// env override, else std::thread::hardware_concurrency(), capped at 16.
+// 1 disables threading (the dev box is single-core; real TPU hosts have
+// dozens of cores and the analysis phases are embarrassingly parallel
+// over docs/queries). ctypes releases the GIL around these calls, so
+// the workers run truly concurrent with the Python caller.
+int native_threads() {
+  const char *env = std::getenv("DSE_NATIVE_THREADS");
+  if (env && *env) {
+    int v = std::atoi(env);
+    if (v >= 1) return v > 16 ? 16 : v;
+  }
+  unsigned hc = std::thread::hardware_concurrency();
+  if (hc == 0) hc = 1;
+  return hc > 16 ? 16 : static_cast<int>(hc);
 }
 
 }  // namespace
@@ -135,6 +155,94 @@ int64_t dse_analyze_docs(const char *buf, const int64_t *offs,
       i = j;
     }
     n_terms[d] = uniq;
+  }
+  return w;
+}
+
+// dse_analyze_docs parallelized over doc ranges. tok_ptr is the
+// cumulative per-doc TOKEN count (from dse_count_tokens) — each range's
+// packed (hash, tf) runs are emitted at its token-offset (an upper
+// bound on its unique count, so ranges never collide), then compacted
+// left with T-1 memmoves. Identical output to dse_analyze_docs
+// (tested); ranges are balanced by token count, not doc count.
+int64_t dse_analyze_docs_mt(const char *buf, const int64_t *offs,
+                            int32_t n_docs, int32_t min_len,
+                            int32_t max_len, const int64_t *tok_ptr,
+                            uint64_t *out_hash, int32_t *out_tf,
+                            int64_t *n_terms, int64_t *dl) {
+  const int want = native_threads();
+  if (want <= 1 || n_docs < 256) {
+    return dse_analyze_docs(buf, offs, n_docs, min_len, max_len,
+                            out_hash, out_tf, n_terms, dl);
+  }
+  const int64_t total_tok = tok_ptr[n_docs];
+  const int t_n = want;
+  std::vector<int32_t> d0(t_n + 1);
+  for (int t = 0; t <= t_n; ++t) {
+    // balance by tokens: first doc whose cumulative tokens reach the
+    // t-th share (lower_bound over tok_ptr)
+    const int64_t target = total_tok * t / t_n;
+    d0[t] = static_cast<int32_t>(
+        std::lower_bound(tok_ptr, tok_ptr + n_docs + 1, target) - tok_ptr
+    );
+  }
+  d0[0] = 0;
+  d0[t_n] = n_docs;
+  std::vector<int64_t> uniq(t_n, 0);
+  auto work = [&](int t) {
+    std::vector<uint64_t> scratch;
+    int64_t w = tok_ptr[d0[t]];
+    const int64_t w_base = w;
+    for (int32_t d = d0[t]; d < d0[t + 1]; ++d) {
+      const char *p = buf + offs[d];
+      const char *end = buf + offs[d + 1];
+      scratch.clear();
+      uint64_t h = kFnvOffset;
+      int64_t run = 0;
+      unsigned char lowered;
+      for (; p < end; ++p) {
+        if (is_alnum_lower(static_cast<unsigned char>(*p), lowered)) {
+          h = (h ^ lowered) * kFnvPrime;
+          ++run;
+        } else if (run) {
+          if (run >= min_len && run <= max_len) scratch.push_back(h);
+          h = kFnvOffset;
+          run = 0;
+        }
+      }
+      if (run && run >= min_len && run <= max_len) scratch.push_back(h);
+      dl[d] = static_cast<int64_t>(scratch.size());
+      std::sort(scratch.begin(), scratch.end());
+      int64_t u = 0;
+      size_t i = 0;
+      while (i < scratch.size()) {
+        size_t j = i + 1;
+        while (j < scratch.size() && scratch[j] == scratch[i]) ++j;
+        out_hash[w] = scratch[i];
+        out_tf[w] = static_cast<int32_t>(j - i);
+        ++w;
+        ++u;
+        i = j;
+      }
+      n_terms[d] = u;
+    }
+    uniq[t] = w - w_base;
+  };
+  std::vector<std::thread> threads;
+  threads.reserve(t_n - 1);
+  for (int t = 1; t < t_n; ++t) threads.emplace_back(work, t);
+  work(0);
+  for (auto &th : threads) th.join();
+  // compact ranges left (dest <= src always: unique <= tokens)
+  int64_t w = uniq[0];
+  for (int t = 1; t < t_n; ++t) {
+    const int64_t src = tok_ptr[d0[t]];
+    if (src != w && uniq[t]) {
+      std::memmove(out_hash + w, out_hash + src,
+                   sizeof(uint64_t) * uniq[t]);
+      std::memmove(out_tf + w, out_tf + src, sizeof(int32_t) * uniq[t]);
+    }
+    w += uniq[t];
   }
   return w;
 }
@@ -459,13 +567,18 @@ void dse_analyze_queries_hash(const char *buf, const int64_t *offs,
                               int32_t *out_r, uint8_t *out_f,
                               uint8_t *overflow) {
   const uint64_t mask = (uint64_t{1} << log2n) - 1;
+  // embarrassingly parallel over queries (disjoint output rows); the
+  // serial path below is the t_n == 1 case of the same worker
+  const int t_n =
+      nq >= 512 ? native_threads() : 1;
+  auto work = [&](int64_t q_lo, int64_t q_hi) {
   std::vector<uint64_t> scratch;
   std::vector<uint64_t> keys(static_cast<size_t>(s));
   std::vector<int32_t> tfs(static_cast<size_t>(s));
   std::vector<uint64_t> idx(static_cast<size_t>(s));
   std::vector<float> qw(static_cast<size_t>(s));
   std::vector<float> idfs(static_cast<size_t>(s));
-  for (int64_t q = 0; q < nq; ++q) {
+  for (int64_t q = q_lo; q < q_hi; ++q) {
     const char *p = buf + offs[q];
     const char *end = buf + offs[q + 1];
     scratch.clear();
@@ -550,6 +663,17 @@ void dse_analyze_queries_hash(const char *buf, const int64_t *offs,
       }
     }
   }
+  };
+  if (t_n <= 1) {
+    work(0, nq);
+    return;
+  }
+  std::vector<std::thread> threads;
+  threads.reserve(t_n - 1);
+  for (int t = 1; t < t_n; ++t)
+    threads.emplace_back(work, nq * t / t_n, nq * (t + 1) / t_n);
+  work(0, nq / t_n);
+  for (auto &th : threads) th.join();
 }
 
 }  // extern "C"

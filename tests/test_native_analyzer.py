@@ -249,3 +249,52 @@ def test_unique_inverse_matches_numpy():
         )
     v1, r1 = native.unique_inverse(np.zeros(0, np.uint64))
     assert len(v1) == 0 and len(r1) == 0
+
+
+@needs_native
+def test_threaded_paths_match_serial():
+    """The threaded doc-analysis (dse_analyze_docs_mt: token-balanced
+    ranges + compaction) and threaded query frontend must be
+    bit-identical to the serial path at every thread count, including
+    empty docs and uneven splits."""
+    import os
+
+    from document_search_engine_tpu.analyze.hashing import TermHasher
+
+    if not hasattr(native._lib(), "dse_analyze_docs_mt"):
+        pytest.skip("committed .so predates dse_analyze_docs_mt")
+    rng = np.random.default_rng(31)
+    words = [f"w{i}" for i in range(1500)]
+    texts = [
+        " ".join(rng.choice(words, rng.integers(0, 50)).tolist())
+        for _ in range(1200)
+    ] + ["", "   ", "a b a b a"]
+    cfgA = IndexConfig().analyzer
+    vocab = np.sort(TermHasher().hash_tokens(words))
+    idf = rng.random(len(vocab)).astype(np.float32)
+    tb, lg = native.hash_build(vocab, idf)
+    queries = [
+        " ".join(rng.choice(words, rng.integers(1, 6)).tolist())
+        for _ in range(1500)
+    ]
+    saved = os.environ.get("DSE_NATIVE_THREADS")
+    try:
+        ref_d = ref_q = None
+        for t in ("1", "2", "3", "16"):
+            os.environ["DSE_NATIVE_THREADS"] = t
+            d = native.analyze_batch_ascii(texts, cfgA)
+            q = native.analyze_queries_hash(queries, cfgA, tb, lg, 8, "bm25")
+            if ref_d is None:
+                ref_d, ref_q = d, q
+                continue
+            for a, b in zip(ref_d, d):
+                np.testing.assert_array_equal(a, b, f"docs threads={t}")
+            for a, b in zip(ref_q, q):
+                np.testing.assert_array_equal(
+                    np.asarray(a), np.asarray(b), f"queries threads={t}"
+                )
+    finally:
+        if saved is None:
+            os.environ.pop("DSE_NATIVE_THREADS", None)
+        else:
+            os.environ["DSE_NATIVE_THREADS"] = saved
