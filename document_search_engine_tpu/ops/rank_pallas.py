@@ -222,10 +222,11 @@ def merge_rank_body(
                 eff = is_low if desc is None else jnp.logical_xor(
                     is_low, desc
                 )
-                # keep-own iff own ranks first for this side; ties keep
-                # both sides in place (== the (d==pd)|((d<pd)==eff)
-                # form, one vector op cheaper)
-                keep = jnp.where(eff, d <= pd, d >= pd)
+                # hardware-validated form (121k step recorded on it; a
+                # where(eff, d<=pd, d>=pd) rewrite is boolean-identical
+                # and one op cheaper on paper but unmeasured — the flip
+                # scheme above uses it where its masks are static)
+                keep = (d == pd) | ((d < pd) == eff)
                 d = jnp.where(keep, d, pd)
                 ci = jnp.where(keep, ci, pci)
                 kk //= 2

@@ -70,8 +70,8 @@ def rank_pipeline_passes(
     Classic scheme (MERGE_FLIP=False):
     - odd-run reversal: log2(run) xor_perm passes x 2 arrays, each
       xor_perm = 2 rolls + 1 select = 3 ops (masks precomputed/shared).
-    - merge stage: 2 xor_perms (d, ci) + keep mask (le, ge, select,
-      + the eff xor on non-final levels) + 2 selects ~= 12 ops.
+    - merge stage: 2 xor_perms (d, ci) + keep mask (eq, lt, eq-dir, or)
+      + 2 selects ~= 12 ops.
 
     Flip scheme (MERGE_FLIP=True): no reversal; per level ONE mirror
     half-cleaner (2 lax.rev group flips + le/ge/select keep + 2 selects
