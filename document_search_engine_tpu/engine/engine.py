@@ -42,6 +42,7 @@ def _pow2_at_least(n: int, lo: int = 1) -> int:
     jax.jit,
     static_argnames=(
         "plan", "k", "scale", "clip", "mode", "n_real", "interpret",
+        "split_p",
     ),
 )
 def _batch_step(
@@ -59,6 +60,9 @@ def _batch_step(
     mode: str,  # "fused" | "fused_dv" | "xla" | "xla_rank"
     n_real: int = 0,  # readback-trim gather size (0 = padded output)
     interpret: bool = False,
+    cols_cat=None,  # (sum bq, 2) i32 piece quantile cols (split mode)
+    offs_devs=None,  # tuple of per-segment (T, P+1) i32 quantile tables
+    split_p: int = 0,  # static: quantile columns P (0 = splitting off)
 ):
     """One XLA program for the whole batch: every (segment x bucket)
     sub-program runs in a single dispatch (the structure the throughput
@@ -86,10 +90,22 @@ def _batch_step(
         for n_blocks, block, bq, r_c in buckets:
             rows_b = jax.lax.slice_in_dim(rows_cat, off, off + bq)
             cbits_b = jax.lax.slice_in_dim(cbits_cat, off, off + bq)
+            if split_p:
+                # doc-range splitting: plan rows are PIECES; their
+                # record ranges gather from the resident quantile table
+                # and the kernel masks arrivals to [d_lo, d_hi)
+                cols_b = jax.lax.slice_in_dim(cols_cat, off, off + bq)
+                dlim = (
+                    (cols_b * jnp.int32(n_docs)) // jnp.int32(split_p)
+                ).reshape(bq, 1, 2)
+            else:
+                cols_b = dlim = None
             off += bq
             sr, rm, ab, dst = expand_plan_tables(
                 row_starts[si], indptrs[si], rows_b, cbits_b,
                 n_blocks, block,
+                offs_dev=offs_devs[si] if split_p else None,
+                cols=cols_b,
             )
             # the kernel returns top-k in one lane vector (k <= 128);
             # larger k falls back to the bit-identical XLA twin (the
@@ -138,6 +154,7 @@ def _batch_step(
                         r_c=r_c,
                         q_stack=pick_stack(bq, r_c),
                         interpret=interpret,
+                        dlim=dlim,
                     )
                 g = jnp.where(v > 0, dloc + doc_bases[si], -1)
             else:
@@ -159,6 +176,7 @@ def _batch_step(
                     # vector; larger k uses the XLA rank tail
                     use_rank_pallas=(mode == "xla_rank" and k <= 128),
                     rank_interpret=interpret,
+                    dlim=dlim,
                 )
             out_v.append(v)
             out_g.append(g)
@@ -316,6 +334,14 @@ class SearchEngine:
         from ..ops.plan_cache import PlanLayoutCache
 
         self.plan_cache: PlanLayoutCache | None = PlanLayoutCache()
+        # Doc-range splitting (ops/schedule.py split_pieces): queries
+        # needing more compacted candidate rows than this split into
+        # doc-disjoint pieces that rank in smaller (superlinearly
+        # cheaper) regions and merge exactly. None = off (the measured
+        # production default until the hardware A/B runs —
+        # tools/step_ab.py split64). Only the fused scorer with a
+        # single block family supports it (the production config).
+        self.split_rows: int | None = None
 
     # ------------------------------------------------------------- build
     def build(self, texts) -> None:
@@ -705,8 +731,86 @@ class SearchEngine:
         MUST build identical keys or seeding is wasted."""
         return (
             si, host.n_docs, host.n_terms, s, k, mode,
-            families, self.plan_min_blocks,
+            families, self.plan_min_blocks, self.split_rows,
         )
+
+    def _doc_quantiles(self, host, device):
+        """(host_offs (T, P+1) i32, device copy) per-row doc-quantile
+        table for doc-range splitting (builder.host_row_doc_quantiles /
+        device_row_doc_quantiles). Cached per segment and validated
+        against the CURRENT doc plane identity — jnp arrays are
+        immutable, so any postings change swaps the plane object and
+        invalidates the entry."""
+        from ..index import builder as B
+
+        cache = getattr(self, "_quant_cache", None)
+        if cache is None:
+            cache = self._quant_cache = {}
+        key = id(host)
+        ent = cache.get(key)
+        if ent is not None and ent[0] is device.post_doc:
+            return ent[1], ent[2]
+        p = B.SPLIT_QUANTILES
+        if host.post_doc is not None:
+            offs = B.host_row_doc_quantiles(
+                host.indptr, host.post_doc, p, host.n_docs
+            )
+        else:
+            offs = np.asarray(
+                B.device_row_doc_quantiles(
+                    device.post_doc, device.indptr, device.row_start,
+                    p, host.n_docs,
+                )
+            )
+        dev = jnp.asarray(offs)
+        cache[key] = (device.post_doc, offs, dev)
+        return offs, dev
+
+    def _split_active(self, mode, k, families) -> bool:
+        """Splitting serves only the production fused single-family
+        config (ops/schedule.py split_pieces rationale)."""
+        return (
+            self.split_rows is not None
+            and mode == "fused"
+            and k <= 128
+            and len(families) == 1
+        )
+
+    def _segment_plan(
+        self, host, device, rows, found, a_seg, families, mode, k
+    ):
+        """Shared by preplan and _dispatch: the per-segment natural plan
+        plus (when splitting) the piece table. Returns (rows_p, a_p,
+        cols, qidx, pno, natural); cols/qidx/pno are None when the plan
+        rows are the queries themselves."""
+        compact = mode.startswith("fused") and k <= 128
+        if not self._split_active(mode, k, families):
+            natural = plan_batch(
+                host.indptr, rows, found, families=families,
+                min_blocks=self.plan_min_blocks, compact=compact,
+            )
+            return rows, a_seg, None, None, None, natural
+        from ..index import builder as B
+        from ..ops.schedule import split_pieces
+
+        offs_h, _offs_d = self._doc_quantiles(host, device)
+        blk = families[0][1]
+        if len(host.indptr) < 2:
+            lens = np.zeros(rows.shape, np.int64)
+        else:
+            lens = (host.indptr[rows + 1] - host.indptr[rows]) * found
+        qidx, pno, cols, lens_p = split_pieces(
+            lens, rows, offs_h, self.split_rows, blk,
+            B.SPLIT_QUANTILES,
+        )
+        rows_p = rows[qidx]
+        a_p = a_seg[qidx]
+        natural = plan_batch(
+            host.indptr, rows_p, found[qidx], families=families,
+            min_blocks=self.plan_min_blocks, compact=compact,
+            lens=lens_p,
+        )
+        return rows_p, a_p, cols, qidx, pno, natural
 
     def _seg_rows_global(self):
         """Per-segment flag: this segment's term table IS the global
@@ -773,19 +877,21 @@ class SearchEngine:
             if rows_g is not None and s != n_slots:
                 rows_g, found_g = rows_g[:, :s], found_g[:, :s]
             seg_global = self._seg_rows_global()
-            for si, (host, _device) in enumerate(self.segments):
+            for si, (host, device) in enumerate(self.segments):
                 if rows_g is not None and seg_global[si]:
                     rows, found = rows_g, found_g
                 else:
                     rows, found = segment_rows(host.term_hash, slot_h)
-                natural = plan_batch(
-                    host.indptr, rows, found, families=families,
-                    min_blocks=self.plan_min_blocks,
-                    compact=(mode.startswith("fused") and k <= 128),
+                a_seg = np.where(found, coeff, F32(0.0)).astype(F32)
+                rows_p, _a_p, _cols, _qidx, _pno, natural = (
+                    self._segment_plan(
+                        host, device, rows, found, a_seg, families,
+                        mode, k,
+                    )
                 )
                 key = self._plan_key(si, host, s, k, mode, families)
                 ent = per_key.setdefault(key, [0, []])
-                ent[0] = max(ent[0], nq)
+                ent[0] = max(ent[0], rows_p.shape[0])
                 ent[1].append(natural)
         for key, (nq, naturals) in per_key.items():
             self.plan_cache.seed_plans(key, naturals, nq)
@@ -824,8 +930,11 @@ class SearchEngine:
             FUSED_FAMILIES if mode.startswith("fused") else DEFAULT_FAMILIES
         )
         plan = []  # static: per seg (n_docs, s, ((nb, blk, bq, rc), ...))
-        idx_map = []  # per segment: list of original-query index arrays
-        r_subs, a_subs = [], []
+        idx_map = []  # per segment: list of plan-row index arrays
+        piece_maps = []  # per segment: None | (qidx, pno, mmax, np_)
+        r_subs, a_subs, c_subs = [], [], []
+        split = self._split_active(mode, k, families)
+        from ..index.builder import SPLIT_QUANTILES
         # computed lazily so every construction path benefits (the
         # checkpoint load path sets stats/segments directly without a
         # refresh — review finding)
@@ -836,16 +945,15 @@ class SearchEngine:
             else:
                 rows, found = segment_rows(host.term_hash, slot_h)
             a_seg = np.where(found, coeff, F32(0.0)).astype(F32)
-            natural = plan_batch(
-                host.indptr, rows, found, families=families,
-                min_blocks=self.plan_min_blocks,
-                # compacted candidate buffers only pay off for the
-                # fused kernel (the XLA twin's shapes are table-bound)
-                compact=(mode.startswith("fused") and k <= 128),
+            rows_p, a_p, cols, qidx, pno, natural = self._segment_plan(
+                host, device, rows, found, a_seg, families, mode, k
             )
+            n_rows_p = rows_p.shape[0]
             if self.plan_cache is not None:
                 key = self._plan_key(si, host, s, k, mode, families)
-                cells = self.plan_cache.canonicalize(key, natural, nq)
+                cells = self.plan_cache.canonicalize(
+                    key, natural, n_rows_p
+                )
             else:
                 cells = [
                     (idx, nb, blk, rc, _pow2_at_least(len(idx)))
@@ -856,14 +964,27 @@ class SearchEngine:
             for idx, n_blocks, block, r_c, bq in cells:
                 r_sub = np.zeros((bq, s), np.int32)
                 a_sub = np.zeros((bq, s), F32)
-                r_sub[: len(idx)] = rows[idx]
-                a_sub[: len(idx)] = a_seg[idx]
+                r_sub[: len(idx)] = rows_p[idx]
+                a_sub[: len(idx)] = a_p[idx]
                 r_subs.append(r_sub)
                 a_subs.append(a_sub)
+                if split:
+                    # padding rows: whole-row piece (0, P) with zero
+                    # coefficients — they plan zero blocks
+                    c_sub = np.zeros((bq, 2), np.int32)
+                    c_sub[:, 1] = SPLIT_QUANTILES
+                    c_sub[: len(idx)] = cols[idx]
+                    c_subs.append(c_sub)
                 buckets.append((n_blocks, block, bq, r_c))
                 idxs.append((idx, bq))
             plan.append((host.n_docs, s, tuple(buckets)))
             idx_map.append(idxs)
+            piece_maps.append(
+                (qidx, pno, int(pno.max()) + 1 if len(pno) else 1,
+                 n_rows_p)
+                if cols is not None
+                else None
+            )
         doc_bases = jnp.asarray(
             np.array([h.doc_base for h, _ in self.segments], np.int32)
         )
@@ -880,10 +1001,16 @@ class SearchEngine:
                 off += bq
         idx_flat = np.concatenate(offs)
         n_real = len(idx_flat)
+        if split:
+            # piece counts vary with traffic; quantize the gather size
+            # so the jit signature space stays bounded (pad gathers row
+            # 0 — junk rows past the consumed range, dropped by
+            # _collect)
+            n_real = -(-n_real // 256) * 256
         s_cols = r_all.shape[1]
         n_extra = -(-n_real // s_cols)
         tail = np.zeros(n_extra * s_cols, np.int32)
-        tail[:n_real] = idx_flat
+        tail[: len(idx_flat)] = idx_flat
         r_all = np.concatenate(
             [r_all, tail.reshape(n_extra, s_cols)], axis=0
         )
@@ -909,23 +1036,59 @@ class SearchEngine:
             # a forced Pallas mode off-TPU runs in interpreter mode
             # instead of failing to compile (ADVICE.md round 2)
             interpret=(jax.devices()[0].platform != "tpu"),
+            cols_cat=(
+                jnp.asarray(np.concatenate(c_subs, axis=0))
+                if split
+                else None
+            ),
+            offs_devs=(
+                tuple(
+                    self._doc_quantiles(h, d)[1] for h, d in self.segments
+                )
+                if split
+                else None
+            ),
+            split_p=SPLIT_QUANTILES if split else 0,
         )
-        return outs, idx_map, nq, k
+        return outs, idx_map, piece_maps, nq, k
 
     def _collect(self, fut):
         """Force D2H on a dispatched batch and assemble (ids, scores) —
         ONE device->host read per batch (the stacked _batch_step out)."""
-        out, idx_map, nq, k = fut
+        out, idx_map, piece_maps, nq, k = fut
         host = np.asarray(out)
         all_vals, all_gids = [], []
         off = 0  # rows are the device-gathered REAL rows, bq pad dropped
-        for idxs in idx_map:
-            seg_v = np.full((nq, k), -1, np.int32)
-            seg_g = np.full((nq, k), -1, np.int32)
+        for idxs, pm in zip(idx_map, piece_maps):
+            n_rows = nq if pm is None else pm[3]
+            seg_v = np.full((n_rows, k), -1, np.int32)
+            seg_g = np.full((n_rows, k), -1, np.int32)
             for idx, _bq in idxs:
                 seg_v[idx] = host[off : off + len(idx), :k]
                 seg_g[idx] = host[off : off + len(idx), k:]
                 off += len(idx)
+            if pm is not None:
+                # doc-range pieces: scatter piece rows to (nq, mmax, k)
+                # slots and merge per query by (score desc, gid asc) —
+                # pieces are doc-disjoint, so this IS the unsplit
+                # ranking (same argument as the segment merge below)
+                qidx, pno, mmax, _np = pm
+                if mmax == 1:
+                    pass  # every piece is its query, already in order
+                else:
+                    pv = np.full((nq, mmax * k), -1, np.int32)
+                    pg = np.full((nq, mmax * k), -1, np.int32)
+                    pv3 = pv.reshape(nq, mmax, k)
+                    pg3 = pg.reshape(nq, mmax, k)
+                    pv3[qidx, pno] = seg_v
+                    pg3[qidx, pno] = seg_g
+                    order = np.lexsort(
+                        (pg, -pv.astype(np.int64)), axis=-1
+                    )[:, :k]
+                    seg_v = np.take_along_axis(pv, order, axis=1)
+                    seg_g = np.take_along_axis(pg, order, axis=1)
+                    seg_g = np.where(seg_v > 0, seg_g, -1)
+                    seg_v = np.where(seg_v > 0, seg_v, -1)
             all_vals.append(seg_v)
             all_gids.append(seg_g)
         if len(all_vals) == 1:

@@ -270,6 +270,91 @@ def device_align_planes(
     return doc2.reshape(x_rows, LANES), tf2.reshape(x_rows, LANES)
 
 
+# Doc-range split quantiles (ops/schedule.py split_heavy_queries): each
+# term row's postings are doc-ascending, so a (T, P+1) table of "count
+# of postings with doc < j*n_docs/P" lets the planner cut any row into
+# P doc-disjoint ranges with exact lengths. P=8 bounds the table at
+# T x 9 int32 and gives heavy queries up to 8-way splits.
+SPLIT_QUANTILES = 8
+
+
+def quantile_doc_bounds(p: int, n_docs: int) -> np.ndarray:
+    """(p+1,) int64 doc thresholds D_j = floor(j * n_docs / p); piece j
+    covers docs [D_j, D_{j+1})."""
+    return (np.arange(p + 1, dtype=np.int64) * n_docs) // p
+
+
+def host_row_doc_quantiles(
+    indptr: np.ndarray,  # (T+1,) true cumulative lengths
+    post_doc: np.ndarray,  # (nnz,) packed postings, doc-ascending per row
+    p: int,
+    n_docs: int,
+) -> np.ndarray:
+    """(T, p+1) int32: offs[t, j] = count of row t's postings with
+    doc < D_j (quantile_doc_bounds); offs[:, 0] = 0, offs[:, p] = row
+    length. Vectorized: one cumsum of (doc < D) per interior threshold."""
+    t_n = len(indptr) - 1
+    offs = np.zeros((t_n, p + 1), np.int32)
+    if t_n == 0:
+        return offs
+    bounds = quantile_doc_bounds(p, n_docs)
+    lens = (indptr[1:] - indptr[:-1]).astype(np.int64)
+    for j in range(1, p):
+        cum = np.zeros(len(post_doc) + 1, np.int64)
+        np.cumsum(post_doc < bounds[j], out=cum[1:])
+        offs[:, j] = (cum[indptr[1:]] - cum[indptr[:-1]]).astype(np.int32)
+    offs[:, p] = lens.astype(np.int32)
+    return offs
+
+
+@partial(jax.jit, static_argnames=("p", "n_docs"))
+def device_row_doc_quantiles(
+    post_doc2: jnp.ndarray,  # (X, 128) aligned doc plane
+    indptr: jnp.ndarray,  # (T+1,) i32 true cumulative lengths
+    row_start: jnp.ndarray,  # (T,) i32 aligned flat record starts
+    p: int,
+    n_docs: int,
+):
+    """Device twin of host_row_doc_quantiles over the ALIGNED plane (the
+    device-built path keeps no host postings): per (row, threshold) a
+    branch-free binary search on the row's doc-ascending records.
+    Sentinel padding (doc = n_docs) sorts past every threshold, so reads
+    past a short row's end are harmless. Bit-identical to the host twin
+    (tested)."""
+    flat = post_doc2.reshape(-1)
+    lens = indptr[1:] - indptr[:-1]
+    bounds = jnp.asarray(
+        quantile_doc_bounds(p, n_docs)[1:p].astype(np.int32)
+    )  # (p-1,) interior thresholds
+
+    def search(start, length, d_thr):
+        def body(_, lh):
+            lo, hi = lh
+            mid = (lo + hi) // 2
+            v = flat[start + mid]
+            right = v < d_thr
+            return jnp.where(right, mid + 1, lo), jnp.where(right, hi, mid)
+
+        lo, _hi = jax.lax.fori_loop(
+            0, 32, body, (jnp.int32(0), length)
+        )
+        return lo
+
+    inner = jax.vmap(search, in_axes=(None, None, 0))
+    mids = jax.vmap(inner, in_axes=(0, 0, None))(
+        row_start, lens, bounds
+    )  # (T, p-1)
+    t_n = row_start.shape[0]
+    return jnp.concatenate(
+        [
+            jnp.zeros((t_n, 1), jnp.int32),
+            mids.astype(jnp.int32),
+            lens.reshape(t_n, 1).astype(jnp.int32),
+        ],
+        axis=1,
+    )
+
+
 def aligned_geometry(indptr: np.ndarray, pad_to: int):
     """(row_start (T,) i64, X): 128-aligned flat start offset per term
     row in the (X, 128) posting planes, and the plane row count (includes

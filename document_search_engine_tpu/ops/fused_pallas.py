@@ -91,13 +91,21 @@ def plan_tables(
     coeff: np.ndarray,  # (nq, S) f32 slot coefficients (0 = missing)
     n_blocks: int,
     block: int,
+    lo: np.ndarray | None = None,  # (nq, S) piece record-range start
+    hi: np.ndarray | None = None,  # (nq, S) piece record-range end
 ):
     """Host-side per-(query, block) DMA plan: (srcrow, rem, abits,
     dstrow), each (nq, 1, n_blocks) int32 — source row offset in the
     (X, 128) planes (-1 = skip), postings remaining at block start
     (masks the tail), the slot coefficient bits, and the compacted
     candidate-buffer destination row (exclusive running sum of each
-    block's granule-rounded real rows). Pure vectorized numpy."""
+    block's granule-rounded real rows). Pure vectorized numpy.
+
+    lo/hi (doc-range splitting, ops/schedule.py split_heavy_queries):
+    per slot, only records [lo, hi) of the row are this plan row's
+    piece. DMA stays 128-aligned by starting at floor128(lo); the
+    sub-granule head overlap is masked by the kernel's doc-range limits
+    (dlim), not here — rem masks only the [*, hi) tail."""
     from ..index.csr import NNZ_SLICE_MARGIN
 
     # tail blocks read up to block-128 records past a row's aligned end;
@@ -114,7 +122,12 @@ def plan_tables(
             np.full((nq, 1, n_blocks), -1, np.int32), z, z.copy(),
             z.copy(),
         )
-    lens = (indptr[rows + 1] - indptr[rows]).astype(np.int64)
+    if lo is not None:
+        start_al = (lo - (lo % LANES)).astype(np.int64)
+        lens = hi.astype(np.int64) - start_al
+    else:
+        start_al = np.zeros(rows.shape, np.int64)
+        lens = (indptr[rows + 1] - indptr[rows]).astype(np.int64)
     lens = np.where(coeff > 0, lens, 0)
     nblk = -(-lens // block)
     blk_cum = np.concatenate(
@@ -125,7 +138,9 @@ def plan_tables(
     rem = np.zeros((nq, n_blocks), np.int32)
     abits = np.zeros((nq, n_blocks), np.int32)
     cbits = coeff.astype(np.float32).view(np.int32)
-    starts128 = (row_start[rows] // LANES).astype(np.int64)  # (nq, S)
+    starts128 = (
+        (row_start[rows] + start_al) // LANES
+    ).astype(np.int64)  # (nq, S); start_al is 128-aligned
     for t in range(s):
         in_t = (jj >= blk_cum[:, t : t + 1]) & (
             jj < blk_cum[:, t + 1 : t + 2]
@@ -156,6 +171,8 @@ def expand_plan_tables(
     cbits: jnp.ndarray,  # (nq, S) i32 bitcast-f32 slot coefficients
     n_blocks: int,
     block: int,
+    offs_dev: jnp.ndarray | None = None,  # (T, P+1) doc-quantile offs
+    cols: jnp.ndarray | None = None,  # (nq, 2) piece quantile columns
 ):
     """Device-side twin of plan_tables: expands (nq, S) rows/coeff-bits
     into the (nq, 1, NB) srcrow/rem/abits/dstrow DMA plan tables under
@@ -164,7 +181,14 @@ def expand_plan_tables(
     round-2 VERDICT's host-planning tax: per batch the host ships only
     the (nq, S) rows and coefficient bits (~NB/S x less H2D than the
     expanded tables) and the expansion rides the same dispatch as the
-    kernels it feeds."""
+    kernels it feeds.
+
+    offs_dev/cols (doc-range splitting): each plan row is a PIECE of a
+    query covering quantile columns [cols[q,0], cols[q,1]) — per slot
+    the record range [offs_dev[row, c0], offs_dev[row, c1]), with the
+    DMA start rounded down to the 128 boundary (the head overlap is
+    masked by the kernel's doc-range limits). The host ships only the
+    tiny (nq, 2) cols; the offsets gather from the resident table."""
     from ..index.csr import NNZ_SLICE_MARGIN
 
     assert block <= NNZ_SLICE_MARGIN, (
@@ -177,14 +201,23 @@ def expand_plan_tables(
         z = jnp.zeros((nq, 1, n_blocks), jnp.int32)
         return jnp.full((nq, 1, n_blocks), -1, jnp.int32), z, z, z
     coeff = jax.lax.bitcast_convert_type(cbits, jnp.float32)
-    lens = indptr[rows + 1] - indptr[rows]
+    if cols is not None:
+        lo = offs_dev[rows, cols[:, 0:1]]  # (nq, S)
+        hi = offs_dev[rows, cols[:, 1:2]]
+        start_al = lo - (lo % LANES)
+        lens = hi - start_al
+    else:
+        start_al = jnp.zeros(rows.shape, jnp.int32)
+        lens = indptr[rows + 1] - indptr[rows]
     lens = jnp.where(coeff > 0, lens, 0)
     nblk = -(-lens // block)
     blk_cum = jnp.concatenate(
         [jnp.zeros((nq, 1), jnp.int32), jnp.cumsum(nblk, axis=1)], axis=1
     )
     jj = jnp.arange(n_blocks, dtype=jnp.int32)[None, :]
-    starts128 = row_start[rows] // LANES  # (nq, S), rows are 128-aligned
+    starts128 = (
+        row_start[rows] + start_al
+    ) // LANES  # (nq, S), rows and start_al are 128-aligned
     srcrow = jnp.full((nq, n_blocks), -1, jnp.int32)
     rem = jnp.zeros((nq, n_blocks), jnp.int32)
     abits = jnp.zeros((nq, n_blocks), jnp.int32)
@@ -211,16 +244,8 @@ def _fused_kernel(
     rem_ref,  # (Q, 1, NB) SMEM
     abits_ref,  # (Q, 1, NB) SMEM
     dstrow_ref,  # (Q, 1, NB) SMEM — compacted destination rows
-    doc_hbm,  # (X, 128) ANY
-    val_hbm,  # (X, 128) ANY
-    vals_ref,  # (Q, 1, LANES) VMEM out
-    docs_ref,  # (Q, 1, LANES) VMEM out
-    dbuf,  # (DEPTH, b128, 128) VMEM scratch
-    vbuf,
-    dacc,  # (Q * R_C + b128, 128) VMEM scratch — compacted doc keys
-    ciacc,  # (Q * R_C + b128, 128) VMEM scratch — contributions
-    sems,  # (2, DEPTH) DMA semaphores
-    *,
+    *rest,  # [dlim_ref (Q, 1, 2) SMEM when has_dlim] doc_hbm, val_hbm,
+    #         vals_ref, docs_ref, dbuf, vbuf, dacc, ciacc, sems
     n_blocks: int,
     block: int,
     s: int,
@@ -230,12 +255,28 @@ def _fused_kernel(
     clip: float,
     r_c: int,
     q_stack: int,
+    has_dlim: bool = False,
 ):
     """One program serves q_stack queries: query q's compacted candidate
     region is rows [q*r_c, (q+1)*r_c), and the whole rank pipeline runs
     region-parallel over the stacked buffer (merge_rank_body q_regions)
     so the per-stage dependency latency — the measured bottleneck once
-    buffers are compacted — is paid once for q_stack queries."""
+    buffers are compacted — is paid once for q_stack queries.
+
+    has_dlim (doc-range splitting): each plan row additionally carries
+    [d_lo, d_hi) doc limits; arriving postings outside the range are
+    masked exactly like rem-tail padding. This is what makes the
+    128-aligned piece DMA exact — the sub-granule boundary overlap
+    between adjacent pieces of one query is partitioned by doc value
+    (doc < D to the left piece), so every posting scores in exactly one
+    piece and the integer per-doc sums are complete in that piece."""
+    if has_dlim:
+        (dlim_ref, doc_hbm, val_hbm, vals_ref, docs_ref, dbuf, vbuf,
+         dacc, ciacc, sems) = rest
+    else:
+        (doc_hbm, val_hbm, vals_ref, docs_ref, dbuf, vbuf,
+         dacc, ciacc, sems) = rest
+        dlim_ref = None
     b128 = block // LANES
     # sentinel-fill once: compacted stores cover only real granule rows
     # (plus each store's static-width tail, overwritten by the next
@@ -291,6 +332,19 @@ def _fused_kernel(
             ci_f = jnp.round((a * vch) * scale)
             ci = jnp.clip(ci_f, 0.0, clip).astype(jnp.int32)
             valid = flat < rem_ref[q, 0, j]
+            in_range = valid
+            if has_dlim:
+                # doc-range mask: out-of-range postings keep their TRUE
+                # doc key (the merge's pre-sorted-run invariant needs
+                # rem-valid records doc-ascending — a sentinel in the
+                # head would sort-break the run) but contribute 0, so
+                # the run>0 candidate gate drops docs with no in-range
+                # contribution
+                in_range = (
+                    valid
+                    & (dch >= dlim_ref[q, 0, 0])
+                    & (dch < dlim_ref[q, 0, 1])
+                )
             # compacted store: this block's real granule rows land at
             # the running dstrow offset inside query q's region; the
             # static b128-row store width overhangs into rows the NEXT
@@ -298,7 +352,7 @@ def _fused_kernel(
             # into masked sentinels
             dst = q * r_c + dstrow_ref[q, 0, j]
             dacc[pl.ds(dst, b128), :] = jnp.where(valid, dch, n_docs)
-            ciacc[pl.ds(dst, b128), :] = jnp.where(valid, ci, 0)
+            ciacc[pl.ds(dst, b128), :] = jnp.where(in_range, ci, 0)
 
         # skipped blocks (srcrow < 0) occupy zero compacted rows; the
         # sentinel prefill already covers them
@@ -351,6 +405,7 @@ def fused_search_pallas(
     r_c: int | None = None,  # compacted buffer rows (pow2); None = full
     q_stack: int = 1,  # queries ranked per program (pow2, divides nq)
     interpret: bool = False,
+    dlim: jnp.ndarray | None = None,  # (nq, 1, 2) i32 [d_lo, d_hi)
 ):
     """(vals, docs_local) (nq, k) int32, ranked (score desc, doc asc);
     exhausted slots are (-1, -1). Bit-identical to search_packed_ds on
@@ -358,7 +413,12 @@ def fused_search_pallas(
     every query in the call must satisfy sum of granule-rounded real
     rows <= r_c (the bucketed planner guarantees it); smaller r_c means
     proportionally less merge/run-sum/top-k work. q_stack queries share
-    one program's region-parallel rank pipeline (pick_stack)."""
+    one program's region-parallel rank pipeline (pick_stack).
+
+    dlim (doc-range splitting): per plan row, postings with doc outside
+    [d_lo, d_hi) are masked on arrival — see _fused_kernel. None keeps
+    the program byte-identical to the pre-split kernel (same compile
+    cache keys)."""
     from ..index.csr import NNZ_SLICE_MARGIN
 
     nq = srcrow.shape[0]
@@ -377,6 +437,7 @@ def fused_search_pallas(
         f"block={block} exceeds the builder's slice margin "
         f"({NNZ_SLICE_MARGIN}); tail DMAs would read out of bounds"
     )
+    has_dlim = dlim is not None
     kernel = partial(
         _fused_kernel,
         n_blocks=n_blocks,
@@ -388,10 +449,21 @@ def fused_search_pallas(
         clip=clip,
         r_c=r_c,
         q_stack=q_stack,
+        has_dlim=has_dlim,
     )
     smem = partial(
         pl.BlockSpec, (q_stack, 1, n_blocks), lambda q: (q, 0, 0),
         memory_space=pltpu.SMEM,
+    )
+    dlim_spec = (
+        [
+            pl.BlockSpec(
+                (q_stack, 1, 2), lambda q: (q, 0, 0),
+                memory_space=pltpu.SMEM,
+            )
+        ]
+        if has_dlim
+        else []
     )
     vals, docs = pl.pallas_call(
         kernel,
@@ -401,6 +473,7 @@ def fused_search_pallas(
             smem(),
             smem(),
             smem(),
+            *dlim_spec,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -427,7 +500,11 @@ def fused_search_pallas(
         ),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(srcrow, rem, abits, dstrow, post_doc, post_val)
+    )(
+        srcrow, rem, abits, dstrow,
+        *((dlim,) if has_dlim else ()),
+        post_doc, post_val,
+    )
     return vals[:, 0, :k], docs[:, 0, :k]
 
 

@@ -162,11 +162,16 @@ def search_packed_tables(
     n_docs: int,
     use_rank_pallas: bool = False,
     rank_interpret: bool = False,
+    dlim: jnp.ndarray | None = None,  # (nq, 1, 2) i32 [d_lo, d_hi)
 ):
     """XLA twin of the fused Pallas kernel: consumes the exact same
     per-(query, block) DMA plan tables (fused_pallas.plan_tables) so the
     serving paths stage once and pick the backend per platform.
-    Bit-identical to the kernel and to search_packed (tested)."""
+    Bit-identical to the kernel and to search_packed (tested).
+
+    dlim (doc-range splitting): per plan row, postings with doc outside
+    [d_lo, d_hi) are masked like rem-tail padding — the twin of the
+    fused kernel's has_dlim mask."""
     from ..index.csr import NNZ_SLICE_MARGIN
 
     assert block <= NNZ_SLICE_MARGIN, (
@@ -194,6 +199,12 @@ def search_packed_tables(
     v = jax.lax.bitcast_convert_type(v_b, jnp.float32)
     lane = jnp.arange(block, dtype=jnp.int32)[None, None, :]
     valid = (lane < rem2[:, :, None]) & (srcrow2[:, :, None] >= 0)
+    if dlim is not None:
+        valid = (
+            valid
+            & (d_b >= dlim[:, :, 0:1])
+            & (d_b < dlim[:, :, 1:2])
+        )
     a = jnp.broadcast_to(a_b[:, :, None], (nq, n_blocks, block))
     ci_f = jnp.round((a * v) * scale)
     ci = jnp.clip(ci_f, 0.0, clip).astype(jnp.int32)

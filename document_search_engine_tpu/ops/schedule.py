@@ -88,6 +88,60 @@ def bucket_rows(rc: np.ndarray, cap: int, min_rows: int = 8):
     return out
 
 
+def split_pieces(
+    lens: np.ndarray,  # (nq, S) per-slot postings lengths (0 = missing)
+    rows: np.ndarray,  # (nq, S) term rows
+    offs: np.ndarray,  # (T, P+1) host doc-quantile table (builder)
+    threshold_rows: int,  # split queries needing more compacted rows
+    block: int,
+    p: int,  # quantile columns (builder.SPLIT_QUANTILES)
+):
+    """Doc-range split plan for heavy queries: a query whose compacted
+    candidate need exceeds `threshold_rows` becomes m = 2^ceil(log2(
+    need/threshold)) pieces (capped at p), piece i covering quantile
+    columns [p*i/m, p*(i+1)/m) — doc-DISJOINT ranges, so every doc's
+    integer score is complete within one piece and the per-query merge
+    of piece top-ks equals the unsplit ranking exactly (the same
+    argument as the doc-sharded segment merge). Light queries stay one
+    piece with columns (0, p).
+
+    Returns (qidx (np_,), pno (np_,), cols (np_, 2), lens_p (np_, S)):
+    the piece->query map, each piece's index within its query, its
+    quantile columns, and its per-slot DMA lengths (from the 128-aligned
+    piece range starts — what the kernel will actually stream).
+
+    Rationale (tools/roofline.py): the rank network's cost is
+    passes(c_region) x c_region, superlinear in region size, and the
+    heavy tail dominates — bench traffic puts ~65% of rank ops in the
+    r_c >= 64 buckets holding ~20% of queries. Splitting a 256-row
+    query into 8 x 32-row doc-ranges cuts its counted rank ops ~40%."""
+    need = compact_rows_per_query(lens, block)  # (nq,)
+    nq = len(need)
+    m = np.ones(nq, np.int64)
+    heavy = need > threshold_rows
+    if heavy.any():
+        ratio = -(-need[heavy] // threshold_rows)
+        mm = 1 << np.ceil(np.log2(ratio)).astype(np.int64)
+        m[heavy] = np.minimum(mm, p)
+    starts = np.zeros(nq + 1, np.int64)
+    np.cumsum(m, out=starts[1:])
+    total = int(starts[-1])
+    qidx = np.repeat(np.arange(nq, dtype=np.int64), m)
+    pno = (np.arange(total, dtype=np.int64) - starts[qidx]).astype(
+        np.int32
+    )
+    mq = m[qidx]
+    c0 = ((pno * p) // mq).astype(np.int32)
+    c1 = (((pno + 1) * p) // mq).astype(np.int32)
+    cols = np.stack([c0, c1], axis=1)
+    rows_p = rows[qidx]
+    lo = offs[rows_p, c0[:, None]].astype(np.int64)
+    hi = offs[rows_p, c1[:, None]].astype(np.int64)
+    start_al = lo - (lo % 128)
+    lens_p = np.where(lens[qidx] > 0, hi - start_al, 0)
+    return qidx, pno, cols, lens_p
+
+
 def plan_batch(
     indptr: np.ndarray,
     rows: np.ndarray,
@@ -95,6 +149,7 @@ def plan_batch(
     families=DEFAULT_FAMILIES,
     min_blocks: int = 4,
     compact: bool = False,
+    lens: np.ndarray | None = None,
 ):
     """Mixed-block schedule: light queries use fine blocks (less per-slot
     ceil padding — the dominant population under Zipf), heavy queries use
@@ -107,6 +162,10 @@ def plan_batch(
     sub-bucketed by their real granule-rounded postings need, which the
     kernel's merge/run-sum/top-k cost scales with; otherwise r_c is the
     uncompacted n_blocks * block / 128.
+
+    lens (doc-range splitting): precomputed per-slot DMA lengths (e.g.
+    split_pieces' piece lengths) override the indptr-derived ones; rows
+    then index pieces, not queries.
     """
     nq = rows.shape[0]
     if len(indptr) < 2 or rows.size == 0:
@@ -114,7 +173,8 @@ def plan_batch(
         return (
             [(np.arange(nq), 1, blk0, blk0 // 128)] if nq else []
         )
-    lens = (indptr[rows + 1] - indptr[rows]) * found
+    if lens is None:
+        lens = (indptr[rows + 1] - indptr[rows]) * found
     totals = lens.sum(axis=1)
     plans = []
     assigned = np.zeros(nq, bool)

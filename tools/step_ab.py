@@ -23,6 +23,11 @@ module/engine knobs relative to the CURRENT committed defaults, so the
              half-cleaner merge vs the reverse-odd-runs network; this
              one DOES require the committed kernel file to carry both
              paths — the flag only picks between them)
+  splitN   — engine.split_rows = N (e.g. split64): doc-range splitting
+             of heavy queries into doc-disjoint pieces that rank in
+             smaller regions and merge exactly (ops/schedule.py
+             split_pieces; the roofline puts ~65% of rank ops in the
+             heavy tail). split0 = off (the default)
   combos: join with '+', e.g. depth16+stack32.
 
 Method: exactly bench.py's "device step only" protocol — capture the
@@ -168,6 +173,9 @@ def main():
                 rank_pallas.MERGE_FLIP = True
             elif part == "mergerev":
                 rank_pallas.MERGE_FLIP = False
+            elif part.startswith("split"):
+                n = int(part[len("split"):])
+                eng.split_rows = n if n > 0 else None
             else:
                 raise SystemExit(f"unknown lever {part!r}")
 
@@ -178,6 +186,7 @@ def main():
         fused_pallas.STACK_ROWS_BUDGET = DEF["budget"]
         eng.block_families = DEF["families"]
         eng.scorer = "fused"
+        eng.split_rows = None
 
     t0 = time.perf_counter()
     run("baseline")
