@@ -148,7 +148,10 @@ def test_split_pieces_match_unsplit_kernel_and_twin():
 def test_split_engine_matches_oracle_multisegment():
     """The full serving path with split_rows forced low (every real
     query splits) must stay bit-identical to the oracle AND to the
-    unsplit engine — across incremental segments and deletes."""
+    unsplit engine — across incremental segments, deletes, and the
+    preplan-seeded layout path (both scorings)."""
+    import pytest
+
     from document_search_engine_tpu.corpus.synth import (
         synth_corpus,
         synth_queries,
@@ -158,20 +161,23 @@ def test_split_engine_matches_oracle_multisegment():
 
     docs = synth_corpus(n_docs=700, vocab_size=250, mean_len=35, seed=51)
     queries = synth_queries(docs, n_queries=16, terms_per_query=4, seed=52)
-    cfg = IndexConfig(scoring=ScoringConfig(kind="bm25"))
-    orc = OracleEngine(cfg)
-    orc.build(docs[:500])
-    orc.add_docs(docs[500:])
-    orc.delete_docs(list(range(40, 80)))
-    oid, osc = orc.search(queries, k=10)
+    for kind in ("bm25", "tfidf"):
+        cfg = IndexConfig(scoring=ScoringConfig(kind=kind))
+        orc = OracleEngine(cfg)
+        orc.build(docs[:500])
+        orc.add_docs(docs[500:])
+        orc.delete_docs(list(range(40, 80)))
+        oid, osc = orc.search(queries, k=10)
 
-    eng = SearchEngine(cfg)
-    eng.scorer = "fused"
-    eng.auto_compact_segments = None  # keep 2 segments alive
-    eng.split_rows = 2
-    eng.build(docs[:500])
-    eng.add_docs(docs[500:])
-    eng.delete_docs(list(range(40, 80)))
-    ids, sc = eng.search(queries, k=10)
-    np.testing.assert_array_equal(np.asarray(ids), np.asarray(oid))
-    np.testing.assert_array_equal(np.asarray(sc), np.asarray(osc))
+        eng = SearchEngine(cfg)
+        eng.scorer = "fused"
+        eng.auto_compact_segments = None  # keep 2 segments alive
+        eng.split_rows = 2
+        eng.build(docs[:500])
+        eng.add_docs(docs[500:])
+        eng.delete_docs(list(range(40, 80)))
+        eng.preplan([queries], k=10)  # seeded layout path, same key
+        ids, sc = eng.search(queries, k=10)
+        np.testing.assert_array_equal(np.asarray(ids), np.asarray(oid), kind)
+        np.testing.assert_array_equal(np.asarray(sc), np.asarray(osc), kind)
+        assert eng.plan_cache.hits >= 1, "preplan seeding missed"
