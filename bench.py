@@ -37,7 +37,8 @@ BENCH_TERMS_PER_QUERY (8), BENCH_AVG_TERMS (60, postings density),
 BENCH_BATCHES (8 distinct query batches), BENCH_BUILD (1),
 BENCH_BUILD_DEVICE (0), BENCH_SHARDS (1 on TPU: time the 1-shard SPMD
 serving path), BENCH_PACK (1 on TPU: run the real jit CSR pack at full
-scale, on-device), BENCH_PASSES (3).
+scale, on-device), BENCH_PASSES (3), BENCH_SPLIT ('' = off: doc-range
+split threshold in compacted rows, e.g. 64).
 """
 from __future__ import annotations
 
@@ -479,6 +480,10 @@ def main():
     if mb_env:
         eng.plan_min_blocks = int(mb_env)
         log(f"plan_min_blocks override: {eng.plan_min_blocks}")
+    split_env = os.environ.get("BENCH_SPLIT", "")
+    if split_env:  # doc-range splitting threshold in compacted rows
+        eng.split_rows = int(split_env) or None
+        log(f"split_rows override: {eng.split_rows}")
     fam_env = os.environ.get("BENCH_FAMILIES", "")
     if fam_env:  # e.g. "1024" (uniform) or "8192:256,1024" (mixed)
         fams = []
