@@ -181,3 +181,37 @@ def test_split_engine_matches_oracle_multisegment():
         np.testing.assert_array_equal(np.asarray(ids), np.asarray(oid), kind)
         np.testing.assert_array_equal(np.asarray(sc), np.asarray(osc), kind)
         assert eng.plan_cache.hits >= 1, "preplan seeding missed"
+
+
+def test_split_with_merge_flip():
+    """Doc-range splitting composed with the flip-first merge scheme
+    (the two pending hardware levers) must stay bit-identical to the
+    oracle through the full engine."""
+    from document_search_engine_tpu.corpus.synth import (
+        synth_corpus,
+        synth_queries,
+    )
+    from document_search_engine_tpu.engine.engine import SearchEngine
+    from document_search_engine_tpu.oracle.oracle import OracleEngine
+    from document_search_engine_tpu.ops import rank_pallas as rp
+
+    docs = synth_corpus(n_docs=500, vocab_size=220, mean_len=30, seed=71)
+    queries = synth_queries(docs, n_queries=12, terms_per_query=4, seed=72)
+    cfg = IndexConfig(scoring=ScoringConfig(kind="bm25"))
+    orc = OracleEngine(cfg)
+    orc.build(docs)
+    oid, osc = orc.search(queries, k=10)
+    saved = rp.MERGE_FLIP
+    try:
+        rp.MERGE_FLIP = True
+        jax.clear_caches()
+        eng = SearchEngine(cfg)
+        eng.scorer = "fused"
+        eng.split_rows = 2
+        eng.build(docs)
+        ids, sc = eng.search(queries, k=10)
+        np.testing.assert_array_equal(np.asarray(ids), np.asarray(oid))
+        np.testing.assert_array_equal(np.asarray(sc), np.asarray(osc))
+    finally:
+        rp.MERGE_FLIP = saved
+        jax.clear_caches()
