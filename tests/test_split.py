@@ -215,3 +215,34 @@ def test_split_with_merge_flip():
     finally:
         rp.MERGE_FLIP = saved
         jax.clear_caches()
+
+
+def test_split_mixed_population_thresholds():
+    """Mixed split/unsplit populations in the same batch (realistic
+    thresholds leave light queries whole): bit-identity vs the unsplit
+    engine across several thresholds."""
+    from document_search_engine_tpu.corpus.synth import (
+        synth_corpus,
+        synth_queries,
+    )
+    from document_search_engine_tpu.engine.engine import SearchEngine
+
+    docs = synth_corpus(n_docs=900, vocab_size=300, mean_len=45, seed=81)
+    queries = synth_queries(docs, n_queries=24, terms_per_query=5, seed=82)
+    cfg = IndexConfig(scoring=ScoringConfig(kind="bm25"))
+    base = SearchEngine(cfg)
+    base.scorer = "fused"
+    base.build(docs)
+    bid, bsc = base.search(queries, k=10)
+    for thr in (4, 16):
+        eng = SearchEngine(cfg)
+        eng.scorer = "fused"
+        eng.split_rows = thr
+        eng.build(docs)
+        ids, sc = eng.search(queries, k=10)
+        np.testing.assert_array_equal(
+            np.asarray(ids), np.asarray(bid), f"thr={thr}"
+        )
+        np.testing.assert_array_equal(
+            np.asarray(sc), np.asarray(bsc), f"thr={thr}"
+        )
