@@ -647,7 +647,12 @@ def _sharded_gather_dots(
 
 class DistributedSearchEngine:
     """Multi-chip search engine over a `docs` mesh (same results as the
-    single-process SearchEngine, bit-for-bit — tested)."""
+    single-process SearchEngine, bit-for-bit — tested).
+
+    Doc-range splitting (SearchEngine.split_rows) is single-engine-only
+    for now: the SPMD step's fleet-uniform shapes would need shared
+    piece columns with per-shard doc limits — deferred until the
+    single-chip hardware A/B proves the lever (ROADMAP)."""
 
     def __init__(self, config: IndexConfig | None = None, mesh: Mesh | None = None):
         self.config = config or IndexConfig()

@@ -150,8 +150,6 @@ def test_split_engine_matches_oracle_multisegment():
     query splits) must stay bit-identical to the oracle AND to the
     unsplit engine — across incremental segments, deletes, and the
     preplan-seeded layout path (both scorings)."""
-    import pytest
-
     from document_search_engine_tpu.corpus.synth import (
         synth_corpus,
         synth_queries,
