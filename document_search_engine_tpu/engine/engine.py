@@ -784,7 +784,11 @@ class SearchEngine:
         cols, qidx, pno, natural); cols/qidx/pno are None when the plan
         rows are the queries themselves."""
         compact = mode.startswith("fused") and k <= 128
-        if not self._split_active(mode, k, families):
+        # empty segments have no quantile table (T = 0) and nothing to
+        # split; they take the unsplit path (zero blocks either way)
+        if not self._split_active(mode, k, families) or len(
+            host.indptr
+        ) < 2:
             natural = plan_batch(
                 host.indptr, rows, found, families=families,
                 min_blocks=self.plan_min_blocks, compact=compact,
@@ -795,10 +799,7 @@ class SearchEngine:
 
         offs_h, _offs_d = self._doc_quantiles(host, device)
         blk = families[0][1]
-        if len(host.indptr) < 2:
-            lens = np.zeros(rows.shape, np.int64)
-        else:
-            lens = (host.indptr[rows + 1] - host.indptr[rows]) * found
+        lens = (host.indptr[rows + 1] - host.indptr[rows]) * found
         qidx, pno, cols, lens_p = split_pieces(
             lens, rows, offs_h, self.split_rows, blk,
             B.SPLIT_QUANTILES,
@@ -969,11 +970,14 @@ class SearchEngine:
                 r_subs.append(r_sub)
                 a_subs.append(a_sub)
                 if split:
-                    # padding rows: whole-row piece (0, P) with zero
-                    # coefficients — they plan zero blocks
+                    # padding rows (and whole segments that skipped
+                    # splitting, e.g. empty ones): whole-row piece
+                    # (0, P) — cols_cat must stay aligned with the
+                    # bucket offsets across ALL segments
                     c_sub = np.zeros((bq, 2), np.int32)
                     c_sub[:, 1] = SPLIT_QUANTILES
-                    c_sub[: len(idx)] = cols[idx]
+                    if cols is not None:
+                        c_sub[: len(idx)] = cols[idx]
                     c_subs.append(c_sub)
                 buckets.append((n_blocks, block, bq, r_c))
                 idxs.append((idx, bq))

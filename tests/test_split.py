@@ -244,3 +244,32 @@ def test_split_mixed_population_thresholds():
         np.testing.assert_array_equal(
             np.asarray(sc), np.asarray(bsc), f"thr={thr}"
         )
+
+
+def test_split_with_empty_vocab_segment():
+    """A term-less segment (T = 0, no quantile table) inside a
+    split-enabled engine: it takes the unsplit plan but must still
+    contribute aligned default quantile columns to the batch staging."""
+    from document_search_engine_tpu.corpus.synth import (
+        synth_corpus,
+        synth_queries,
+    )
+    from document_search_engine_tpu.engine.engine import SearchEngine
+    from document_search_engine_tpu.oracle.oracle import OracleEngine
+
+    docs = synth_corpus(n_docs=300, vocab_size=150, mean_len=25, seed=91)
+    queries = synth_queries(docs, n_queries=8, terms_per_query=3, seed=92)
+    cfg = IndexConfig(scoring=ScoringConfig(kind="bm25"))
+    orc = OracleEngine(cfg)
+    orc.build(docs)
+    orc.add_docs(["", "  ", ""])
+    eng = SearchEngine(cfg)
+    eng.scorer = "fused"
+    eng.split_rows = 2
+    eng.auto_compact_segments = None
+    eng.build(docs)
+    eng.add_docs(["", "  ", ""])
+    oid, osc = orc.search(queries, k=10)
+    ids, sc = eng.search(queries, k=10)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(oid))
+    np.testing.assert_array_equal(np.asarray(sc), np.asarray(osc))
