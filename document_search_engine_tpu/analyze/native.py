@@ -142,6 +142,22 @@ def _lib():
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.dse_query_slots_hash.restype = None
+        lib.dse_query_slots_hash.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.c_void_p,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
         lib.dse_hash_unique.restype = ctypes.c_int64
         lib.dse_hash_unique.argtypes = [
             ctypes.POINTER(ctypes.c_uint64),
@@ -395,6 +411,46 @@ def unique_inverse(values: np.ndarray, counts: bool = False):
     if counts:
         return vocab, rows, df
     return vocab, rows
+
+
+def query_slots_hash(
+    hashes: np.ndarray,  # (nnz,) uint64 — AnalyzedDocs layout
+    tfs: np.ndarray,  # (nnz,) int32
+    doc_ptr: np.ndarray,  # (nq+1,) int64
+    table: np.ndarray,  # from hash_build
+    log2n: int,
+    s: int,
+    kind: str,
+):
+    """query_slots with the flat hash-table lookup — identical output
+    bits (the two-call path's twin of analyze_queries_hash, used for
+    mixed/non-ASCII batches)."""
+    lib = _lib()
+    nq = len(doc_ptr) - 1
+    hashes = np.ascontiguousarray(hashes, dtype=np.uint64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.int32)
+    doc_ptr = np.ascontiguousarray(doc_ptr, dtype=np.int64)
+    out_h = np.zeros((nq, s), np.uint64)
+    out_a = np.zeros((nq, s), np.float32)
+    out_r = np.zeros((nq, s), np.int32)
+    out_f = np.zeros((nq, s), np.uint8)
+    overflow = np.zeros(nq, np.uint8)
+    lib.dse_query_slots_hash(
+        hashes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        tfs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        doc_ptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        nq,
+        table.ctypes.data,
+        log2n,
+        s,
+        0 if kind == "bm25" else 1,
+        out_h.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        out_a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out_r.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out_f.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        overflow.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out_h, out_a, out_r, out_f.view(bool), overflow
 
 
 def analyze_queries_hash(

@@ -148,18 +148,27 @@ class QueryFrontend:
 
         kind = self.config.scoring.kind
         if native.slots_available():
-            vocab_c, starts, bits = stats.prefix_table()
-            out_h, out_a, out_r, out_f, overflow = native.query_slots(
-                analyzed.hashes,
-                analyzed.tfs,
-                analyzed.doc_ptr,
-                vocab_c,
-                starts,
-                bits,
-                stats.idf_by_row(kind),
-                s,
-                kind,
-            )
+            if native.hash_lookup_available():
+                table, log2n = stats.hash_table(kind)
+                out_h, out_a, out_r, out_f, overflow = (
+                    native.query_slots_hash(
+                        analyzed.hashes, analyzed.tfs,
+                        analyzed.doc_ptr, table, log2n, s, kind,
+                    )
+                )
+            else:
+                vocab_c, starts, bits = stats.prefix_table()
+                out_h, out_a, out_r, out_f, overflow = native.query_slots(
+                    analyzed.hashes,
+                    analyzed.tfs,
+                    analyzed.doc_ptr,
+                    vocab_c,
+                    starts,
+                    bits,
+                    stats.idf_by_row(kind),
+                    s,
+                    kind,
+                )
             return self._finish_slow_rows(
                 queries, stats, s, np.nonzero(overflow)[0],
                 out_h, out_a, out_r, out_f,

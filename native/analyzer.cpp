@@ -392,6 +392,73 @@ extern "C" void dse_hash_build(const uint64_t *vocab, int64_t n_vocab,
   }
 }
 
+// dse_query_slots with the flat hash-table lookup (dse_hash_build)
+// instead of the prefix-table binary search — the two-call path's twin
+// of dse_analyze_queries_hash (mixed/non-ASCII batches analyze first,
+// then assemble slots here). Identical output bits.
+void dse_query_slots_hash(const uint64_t *hashes, const int32_t *tfs,
+                          const int64_t *doc_ptr, int64_t nq,
+                          const VocabEntry *table, int32_t log2n,
+                          int32_t s, int32_t kind, uint64_t *out_h,
+                          float *out_a, int32_t *out_r, uint8_t *out_f,
+                          uint8_t *overflow) {
+  const uint64_t mask = (uint64_t{1} << log2n) - 1;
+  std::vector<float> qw(static_cast<size_t>(s));
+  std::vector<float> idfs(static_cast<size_t>(s));
+  for (int64_t q = 0; q < nq; ++q) {
+    const int64_t b = doc_ptr[q];
+    const int64_t len = doc_ptr[q + 1] - b;
+    if (len > s) {
+      overflow[q] = 1;
+      continue;
+    }
+    for (int64_t i = 0; i < len; ++i)
+      __builtin_prefetch(&table[slot_of(hashes[b + i], log2n)], 0, 1);
+    uint64_t *oh = out_h + q * s;
+    float *oa = out_a + q * s;
+    int32_t *orow = out_r + q * s;
+    uint8_t *of = out_f + q * s;
+    for (int64_t i = 0; i < len; ++i) {
+      const uint64_t x = hashes[b + i];
+      uint64_t ix = slot_of(x, log2n);
+      int32_t row = -1;
+      float idf = 0.0f;
+      while (table[ix].row != -1) {
+        if (table[ix].key == x) {
+          row = table[ix].row;
+          idf = table[ix].idf;
+          break;
+        }
+        ix = (ix + 1) & mask;
+      }
+      const bool found = row >= 0;
+      oh[i] = x;
+      orow[i] = found ? row : 0;
+      of[i] = found ? 1 : 0;
+      const float tf_f = static_cast<float>(tfs[b + i]);
+      if (kind == 0) {
+        const float a = tf_f * idf;
+        oa[i] = (idf == 0.0f) ? 0.0f : a;
+      } else {
+        qw[i] = tf_f * idf;
+        idfs[i] = idf;
+      }
+    }
+    if (kind != 0 && len > 0) {
+      float acc = 0.0f;
+      for (int64_t i = 0; i < len; ++i) {
+        const float w = qw[i];
+        acc = acc + w * w;
+      }
+      const float qnorm = std::sqrt(acc);
+      for (int64_t i = 0; i < len; ++i) {
+        float a = (qnorm == 0.0f) ? 0.0f : (qw[i] / qnorm) * idfs[i];
+        oa[i] = (idfs[i] == 0.0f) ? 0.0f : a;
+      }
+    }
+  }
+}
+
 // Fully-fused serving frontend: raw ASCII query text -> slot arrays in
 // ONE pass (tokenize + FNV-1a64 + per-query sort/uniq + prefix-table
 // vocab lookup + idf gather + f32 query coefficients). Combines
