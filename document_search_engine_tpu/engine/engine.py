@@ -746,6 +746,11 @@ class SearchEngine:
         cache = getattr(self, "_quant_cache", None)
         if cache is None:
             cache = self._quant_cache = {}
+        # prune dropped segments: entries hold device-plane refs, so a
+        # stale entry would keep a compacted-away segment's HBM alive
+        live = {id(h) for h, _ in self.segments}
+        for stale in [kk for kk in cache if kk not in live]:
+            del cache[stale]
         key = id(host)
         ent = cache.get(key)
         if ent is not None and ent[0] is device.post_doc:
