@@ -699,6 +699,8 @@ def main():
     def run_sharded():
         sharded_qps = 0.0
         deng = sharded_from_engine(eng, cfg)
+        if eng.split_rows is not None:  # BENCH_SPLIT applies to both
+            deng.split_rows = eng.split_rows
         t0 = time.perf_counter()
         deng.preplan(batches, k=k)
         sh_first = None

@@ -321,11 +321,25 @@ def device_row_doc_quantiles(
     Sentinel padding (doc = n_docs) sorts past every threshold, so reads
     past a short row's end are harmless. Bit-identical to the host twin
     (tested)."""
-    flat = post_doc2.reshape(-1)
-    lens = indptr[1:] - indptr[:-1]
     bounds = jnp.asarray(
         quantile_doc_bounds(p, n_docs)[1:p].astype(np.int32)
     )  # (p-1,) interior thresholds
+    return device_row_doc_quantiles_b(
+        post_doc2, indptr, row_start, bounds
+    )
+
+
+def device_row_doc_quantiles_b(
+    post_doc2: jnp.ndarray,  # (X, 128) aligned doc plane
+    indptr: jnp.ndarray,  # (T+1,) i32 true cumulative lengths
+    row_start: jnp.ndarray,  # (T,) i32 aligned flat record starts
+    bounds: jnp.ndarray,  # (p-1,) i32 INTERIOR thresholds (traced — the
+    #                       sharded path's per-shard local doc counts)
+):
+    """device_row_doc_quantiles with traced thresholds; jit-safe inside
+    shard_map (each shard searches against its own local-doc bounds)."""
+    flat = post_doc2.reshape(-1)
+    lens = indptr[1:] - indptr[:-1]
 
     def search(start, length, d_thr):
         def body(_, lh):
@@ -335,10 +349,16 @@ def device_row_doc_quantiles(
             right = v < d_thr
             return jnp.where(right, mid + 1, lo), jnp.where(right, hi, mid)
 
+        # lo starts as 0*length (not a literal 0) so the carry shares
+        # length's varying-manual-axes type under shard_map
         lo, _hi = jax.lax.fori_loop(
-            0, 32, body, (jnp.int32(0), length)
+            0, 32, body, (jnp.zeros_like(length), length)
         )
-        return lo
+        # zero-length rows: lo==hi==0 from the start, so the probe reads
+        # a NEIGHBOR row's record and can push lo to 1 — clamp to the
+        # row length (global-row tables in the sharded engine carry a
+        # zero-length row for every term a shard lacks)
+        return jnp.minimum(lo, length)
 
     inner = jax.vmap(search, in_axes=(None, None, 0))
     mids = jax.vmap(inner, in_axes=(0, 0, None))(

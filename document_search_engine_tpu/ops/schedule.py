@@ -116,6 +116,16 @@ def split_pieces(
     r_c >= 64 buckets holding ~20% of queries. Splitting a 256-row
     query into 8 x 32-row doc-ranges cuts its counted rank ops ~40%."""
     need = compact_rows_per_query(lens, block)  # (nq,)
+    qidx, pno, cols = _piece_structure(need, threshold_rows, p)
+    lens_p = _piece_lens(lens, rows, offs, qidx, cols)
+    return qidx, pno, cols, lens_p
+
+
+def _piece_structure(need: np.ndarray, threshold_rows: int, p: int):
+    """(qidx, pno, cols) piece table from per-query compacted need: a
+    query needing more than `threshold_rows` becomes m = 2^ceil(log2(
+    need/threshold)) pieces (capped at p), piece i covering quantile
+    columns [p*i/m, p*(i+1)/m)."""
     nq = len(need)
     m = np.ones(nq, np.int64)
     heavy = need > threshold_rows
@@ -133,13 +143,46 @@ def split_pieces(
     mq = m[qidx]
     c0 = ((pno * p) // mq).astype(np.int32)
     c1 = (((pno + 1) * p) // mq).astype(np.int32)
-    cols = np.stack([c0, c1], axis=1)
+    return qidx, pno, np.stack([c0, c1], axis=1)
+
+
+def _piece_lens(lens, rows, offs, qidx, cols):
+    """Per-slot DMA lengths of each piece from a quantile table: the
+    128-aligned piece range [align128(offs[r, c0]), offs[r, c1])."""
     rows_p = rows[qidx]
-    lo = offs[rows_p, c0[:, None]].astype(np.int64)
-    hi = offs[rows_p, c1[:, None]].astype(np.int64)
+    lo = offs[rows_p, cols[:, 0:1]].astype(np.int64)
+    hi = offs[rows_p, cols[:, 1:2]].astype(np.int64)
     start_al = lo - (lo % 128)
-    lens_p = np.where(lens[qidx] > 0, hi - start_al, 0)
-    return qidx, pno, cols, lens_p
+    return np.where(lens[qidx] > 0, hi - start_al, 0)
+
+
+def split_pieces_sharded(
+    lens_sh: np.ndarray,  # (n_shards, nq, S) per-slot lengths
+    rows: np.ndarray,  # (nq, S) GLOBAL term rows
+    offs_sh: np.ndarray,  # (n_shards, T_pad, P+1) per-shard quantile
+    #                       tables in the global row space
+    threshold_rows: int,
+    block: int,
+    p: int,
+):
+    """split_pieces for the SPMD engine: the piece STRUCTURE (how many
+    pieces per query, which quantile columns) must be fleet-uniform —
+    it is part of the replicated plan — so it is decided from the
+    max-over-shards compacted need, while each shard's piece lengths
+    come from its own quantile table (per-shard record ranges expand on
+    device from the resident tables; the host only needs the lengths
+    for the max-over-shards block budgets).
+
+    Returns (qidx, pno, cols, lens_p_sh (n_shards, np_, S))."""
+    need = compact_rows_per_query(lens_sh, block).max(axis=0)  # (nq,)
+    qidx, pno, cols = _piece_structure(need, threshold_rows, p)
+    lens_p_sh = np.stack(
+        [
+            _piece_lens(lens_sh[i], rows, offs_sh[i], qidx, cols)
+            for i in range(lens_sh.shape[0])
+        ]
+    )
+    return qidx, pno, cols, lens_p_sh
 
 
 def plan_batch(

@@ -495,11 +495,45 @@ def refresh_sharded_vals(idx: ShardedIndex, config: IndexConfig, mesh: Mesh):
     )
 
 
+@partial(jax.jit, static_argnames=("p", "mesh_"))
+def _sharded_quantiles(
+    post_doc,  # (n_shards, X, 128) i32 aligned doc planes, sharded
+    indptr_g,  # (n_shards, t_pad+1) i32 global-row tables, sharded
+    row_start_g,  # (n_shards, t_pad) i32, sharded
+    n_loc,  # (n_shards, 1) i32 true LOCAL doc counts, sharded
+    p: int,
+    mesh_: Mesh,
+):
+    """Per-shard (t_pad, P+1) doc-quantile tables in the global row
+    space, ONE SPMD job: each shard binary-searches its resident doc
+    plane against its OWN local-doc thresholds (traced — hence
+    builder.device_row_doc_quantiles_b), so piece j of any query covers
+    shard-local docs [j*n_s/P, (j+1)*n_s/P) on every shard s. Absent
+    rows (zero length in this shard) yield all-zero offsets."""
+
+    def local(pd, ipg, rsg, nl):
+        j = jnp.arange(1, p, dtype=jnp.int32)
+        # == host quantile_doc_bounds in i32 (callers assert
+        # d_pad * P < 2^31, so the i64 host math agrees)
+        bounds = (j * nl[0, 0]) // jnp.int32(p)
+        return builder.device_row_doc_quantiles_b(
+            pd[0], ipg[0], rsg[0], bounds
+        )[None]
+
+    sh = P(DOCS_AXIS)
+    return shard_map(
+        local,
+        mesh=mesh_,
+        in_specs=(sh, sh, sh, sh),
+        out_specs=sh,
+    )(post_doc, indptr_g, row_start_g, n_loc)
+
+
 @partial(
     jax.jit,
     static_argnames=(
         "k", "plan", "d_pad", "scale", "clip", "mode", "interpret",
-        "mesh_",
+        "mesh_", "split_p",
     ),
 )
 def _sharded_batch_step(
@@ -518,28 +552,50 @@ def _sharded_batch_step(
     mode: str,  # "fused" | "xla" | "xla_rank"
     interpret: bool,
     mesh_: Mesh,
+    cols_cat=None,  # (B_total, 2) i32 piece quantile cols, replicated
+    quant=None,  # (n_shards, t_pad, P+1) i32 quantile tables, sharded
+    n_loc=None,  # (n_shards, 1) i32 true local doc counts, sharded
+    split_p: int = 0,  # static: quantile columns P (0 = splitting off)
 ):
     """One SPMD dispatch for a whole query batch: per shard, the DMA
     plan tables expand on device from the resident global-row tables,
     every bucket's scorer (fused Pallas kernel on TPU meshes, its
     bit-identical XLA twin elsewhere) runs inside the same program,
     candidates are concatenated, and a single `all_gather` over ICI +
-    replicated merge produce the global top-k."""
+    replicated merge produce the global top-k.
+
+    split_p > 0 (doc-range splitting, see SearchEngine.split_rows):
+    plan rows are PIECES covering quantile columns [c0, c1); each
+    shard's record ranges gather from its resident quantile table and
+    its kernel masks arrivals to ITS local doc range [c*n_s/P ...) —
+    the piece structure is fleet-uniform, the doc limits are per-shard
+    (traced from n_loc)."""
     from ..ops.fused_pallas import expand_plan_tables, fused_search_pallas
     from ..ops.packed import search_packed_tables
 
     s, buckets = plan
 
-    def local(pd, pv, base, ipg, rsg, rows_cat, cbits_cat):
+    def local(pd, pv, base, ipg, rsg, rows_cat, cbits_cat, *extra):
         pd, pv, ipg, rsg = pd[0], pv[0], ipg[0], rsg[0]
+        if split_p:
+            cols_all, qt, nl = extra[0], extra[1][0], extra[2][0, 0]
         parts_v, parts_g = [], []
         off = 0
         for n_blocks, block, bq, r_c in buckets:
             rows_b = jax.lax.slice_in_dim(rows_cat, off, off + bq)
             cbits_b = jax.lax.slice_in_dim(cbits_cat, off, off + bq)
+            if split_p:
+                cols_b = jax.lax.slice_in_dim(cols_all, off, off + bq)
+                dlim = (
+                    (cols_b * nl) // jnp.int32(split_p)
+                ).reshape(bq, 1, 2)
+            else:
+                cols_b = dlim = None
             off += bq
             sr, rm, ab, dst = expand_plan_tables(
-                rsg, ipg, rows_b, cbits_b, n_blocks, block
+                rsg, ipg, rows_b, cbits_b, n_blocks, block,
+                offs_dev=qt if split_p else None,
+                cols=cols_b,
             )
             # d_pad-1 is a safe uniform local sentinel: every shard's
             # real local ids are <= d_pad-2 (d_pad >= max local docs + 1)
@@ -551,7 +607,7 @@ def _sharded_batch_step(
                     n_blocks=n_blocks, block=block, s=s, k=k,
                     n_docs=d_pad - 1, scale=scale, clip=clip,
                     r_c=r_c, q_stack=pick_stack(bq, r_c),
-                    interpret=interpret,
+                    interpret=interpret, dlim=dlim,
                 )
                 g = jnp.where(v > 0, dloc + base[0, 0], -1)
             else:
@@ -561,7 +617,7 @@ def _sharded_batch_step(
                     n_blocks=n_blocks, block=block, s=s, k=k,
                     n_docs=d_pad - 1,
                     use_rank_pallas=(mode == "xla_rank" and k <= 128),
-                    rank_interpret=interpret,
+                    rank_interpret=interpret, dlim=dlim,
                 )
             parts_v.append(v)
             parts_g.append(g)
@@ -580,18 +636,25 @@ def _sharded_batch_step(
         return mv[None], mg[None]
 
     sh = P(DOCS_AXIS)
+    operands = (
+        post_doc, post_val, doc_base, indptr_g, row_start_g, rows_cat,
+        cbits_cat,
+    )
+    in_specs = (sh, sh, sh, sh, sh, P(), P())
+    if split_p:
+        operands += (cols_cat, quant, n_loc)
+        in_specs += (P(), sh, sh)
     vals_all, gids_all = shard_map(
         local,
         mesh=mesh_,
-        in_specs=(sh, sh, sh, sh, sh, P(), P()),
+        in_specs=in_specs,
         out_specs=(sh, sh),
         # pallas_call outputs carry no vma annotation, which the vma
         # check rejects; replication is still guaranteed by the
         # all-gather + identical merge (pinned by the shard-count
         # invariance tests)
         check_vma=False,
-    )(post_doc, post_val, doc_base, indptr_g, row_start_g, rows_cat,
-      cbits_cat)
+    )(*operands)
     # (n_shards, nq, k) of identical replicas -> one copy, stacked as
     # ONE (nq, 2k) output so the caller forces a SINGLE D2H read (the
     # tunnel serializes transfers at ~15+ ms each; two reads per batch
@@ -647,12 +710,7 @@ def _sharded_gather_dots(
 
 class DistributedSearchEngine:
     """Multi-chip search engine over a `docs` mesh (same results as the
-    single-process SearchEngine, bit-for-bit — tested).
-
-    Doc-range splitting (SearchEngine.split_rows) is single-engine-only
-    for now: the SPMD step's fleet-uniform shapes would need shared
-    piece columns with per-shard doc limits — deferred until the
-    single-chip hardware A/B proves the lever (ROADMAP)."""
+    single-process SearchEngine, bit-for-bit — tested)."""
 
     def __init__(self, config: IndexConfig | None = None, mesh: Mesh | None = None):
         self.config = config or IndexConfig()
@@ -667,6 +725,15 @@ class DistributedSearchEngine:
         self.device_build: bool = True
         # smallest per-bucket n_blocks budget (see SearchEngine)
         self.plan_min_blocks: int = 4
+        # Doc-range splitting (see SearchEngine.split_rows): heavy
+        # queries become doc-disjoint pieces. The piece STRUCTURE is
+        # fleet-uniform (it is part of the replicated plan, decided
+        # from max-over-shards need); record ranges and doc limits are
+        # per-shard, gathered on device from resident quantile tables
+        # (_sharded_quantiles). Off by default pending the single-chip
+        # hardware A/B (ROADMAP); the OFF path compiles the
+        # byte-identical pre-split programs.
+        self.split_rows: int | None = None
         # stable compiled-plan layouts (ops/plan_cache.py; see
         # SearchEngine.plan_cache — one SPMD program per traffic shape
         # instead of one per batch)
@@ -1029,8 +1096,82 @@ class DistributedSearchEngine:
         return (
             idx.n_shards, idx.d_pad, idx.t_pad,
             int(idx.post_doc.shape[1]), s, k, mode,
-            self.plan_min_blocks,
+            self.plan_min_blocks, self.split_rows,
         )
+
+    def _split_active(self, mode, k, families) -> bool:
+        """Splitting serves only the production fused single-family
+        config (same gate as SearchEngine._split_active)."""
+        return (
+            self.split_rows is not None
+            and mode == "fused"
+            and k <= 128
+            and len(families) == 1
+        )
+
+    def _doc_quantiles(self):
+        """(offs_h (n_shards, t_pad, P+1) numpy, offs_d sharded device
+        copy, n_loc_d sharded (n_shards, 1) i32): per-shard doc-quantile
+        tables, computed by ONE SPMD job against each shard's resident
+        planes and read back ONCE for the host piece planner. Cached by
+        plane/table identity — add/delete/compact swap those objects."""
+        idx = self.index
+        cache = getattr(self, "_quant_cache", None)
+        # identity refs, not id(): a GC'd plane's id can be reused
+        if (
+            cache is not None
+            and cache[0] is idx.post_doc
+            and cache[1] is idx.indptr_d
+        ):
+            return cache[2], cache[3], cache[4]
+        p = builder.SPLIT_QUANTILES
+        # the device job computes thresholds j*n/P in i32; equal to the
+        # host's i64 quantile_doc_bounds below this bound
+        assert idx.d_pad * p < 2**31, "doc count overflows i32 quantiles"
+        n_loc = np.array(
+            [h.n_docs for h in idx.hosts], np.int32
+        ).reshape(idx.n_shards, 1)
+        n_loc_d = jax.device_put(
+            n_loc, NamedSharding(self.mesh, P(DOCS_AXIS))
+        )
+        offs_d = _sharded_quantiles(
+            idx.post_doc, idx.indptr_d, idx.row_start_d, n_loc_d,
+            p=p, mesh_=self.mesh,
+        )
+        offs_h = np.asarray(offs_d)  # ONE D2H per index version
+        self._quant_cache = (
+            idx.post_doc, idx.indptr_d, offs_h, offs_d, n_loc_d,
+        )
+        return offs_h, offs_d, n_loc_d
+
+    def _batch_plan(self, rows, found, a_all, mode, k, families):
+        """Shared by preplan and _dispatch: the batch's natural plan
+        plus (when splitting) the piece table. Returns (rows_p, a_p,
+        cols, qidx, pno, natural); cols/qidx/pno are None when the plan
+        rows are the queries themselves."""
+        idx = self.index
+        lens_sh = (
+            idx.indptr_g[:, rows + 1] - idx.indptr_g[:, rows]
+        ) * found[None]
+        compact = mode == "fused" and k <= 128
+        if not self._split_active(mode, k, families):
+            natural = plan_batch_sharded(
+                lens_sh, families=families,
+                min_blocks=self.plan_min_blocks, compact=compact,
+            )
+            return rows, a_all, None, None, None, natural
+        from ..ops.schedule import split_pieces_sharded
+
+        offs_h, _offs_d, _n_loc = self._doc_quantiles()
+        qidx, pno, cols, lens_p_sh = split_pieces_sharded(
+            lens_sh, rows, offs_h, self.split_rows, families[0][1],
+            builder.SPLIT_QUANTILES,
+        )
+        natural = plan_batch_sharded(
+            lens_p_sh, families=families,
+            min_blocks=self.plan_min_blocks, compact=compact,
+        )
+        return rows[qidx], a_all[qidx], cols, qidx, pno, natural
 
     def preplan(self, query_batches, k: int = 10) -> None:
         """Host-only: converge the plan-layout cache over representative
@@ -1051,23 +1192,18 @@ class DistributedSearchEngine:
             slot_h, coeff, rows, found = self.frontend.analyze_rows(
                 queries, idx.stats
             )
-            nq = len(queries)
             n_slots = slot_h.shape[1]
             slot_h, coeff = slice_active_slots(slot_h, coeff)
             s = slot_h.shape[1]
             if s != n_slots:
                 rows, found = rows[:, :s], found[:, :s]
-            lens_sh = (
-                idx.indptr_g[:, rows + 1] - idx.indptr_g[:, rows]
-            ) * found[None]
-            natural = plan_batch_sharded(
-                lens_sh, families=families,
-                min_blocks=self.plan_min_blocks,
-                compact=(mode == "fused" and k <= 128),
+            a_all = np.where(found, coeff, F32(0.0)).astype(F32)
+            rows_p, _a_p, _cols, _qidx, _pno, natural = (
+                self._batch_plan(rows, found, a_all, mode, k, families)
             )
             key = self._plan_key(s, k, mode)
             ent = per_key.setdefault(key, [0, []])
-            ent[0] = max(ent[0], nq)
+            ent[0] = max(ent[0], rows_p.shape[0])
             ent[1].append(natural)
         for key, (nq, naturals) in per_key.items():
             self.plan_cache.seed_plans(key, naturals, nq)
@@ -1094,10 +1230,6 @@ class DistributedSearchEngine:
         if s != n_slots:
             rows, found = rows[:, :s], found[:, :s]
         a_all = np.where(found, coeff, F32(0.0)).astype(F32)
-        # per-shard per-slot lengths from the host global tables
-        lens_sh = (
-            idx.indptr_g[:, rows + 1] - idx.indptr_g[:, rows]
-        ) * found[None]
         mode = self.scorer_mode
         families = (
             FUSED_FAMILIES if mode == "fused" else DEFAULT_FAMILIES
@@ -1107,14 +1239,14 @@ class DistributedSearchEngine:
         clip = float(
             F32(int(spec.quant_clip_max(self.config.max_query_terms)))
         )
-        natural = plan_batch_sharded(
-            lens_sh, families=families,
-            min_blocks=self.plan_min_blocks,
-            compact=(mode == "fused" and k <= 128),
+        split = self._split_active(mode, k, families)
+        rows_p, a_p, cols, qidx, pno, natural = self._batch_plan(
+            rows, found, a_all, mode, k, families
         )
+        n_rows_p = rows_p.shape[0]
         if self.plan_cache is not None:
             key = self._plan_key(s, k, mode)
-            cells = self.plan_cache.canonicalize(key, natural, nq)
+            cells = self.plan_cache.canonicalize(key, natural, n_rows_p)
         else:
             cells = [
                 (
@@ -1123,16 +1255,25 @@ class DistributedSearchEngine:
                 )
                 for idx_q, nb, blk, rc in natural
             ]
-        buckets, idxs, r_subs, a_subs = [], [], [], []
+        buckets, idxs, r_subs, a_subs, c_subs = [], [], [], [], []
         for idx_q, n_blocks, block, r_c, bq in cells:
             r_sub = np.zeros((bq, s), np.int32)
             a_sub = np.zeros((bq, s), F32)
-            r_sub[: len(idx_q)] = rows[idx_q]
-            a_sub[: len(idx_q)] = a_all[idx_q]
+            r_sub[: len(idx_q)] = rows_p[idx_q]
+            a_sub[: len(idx_q)] = a_p[idx_q]
             r_subs.append(r_sub)
             a_subs.append(a_sub)
+            if split:
+                # padding rows take the whole-row piece (0, P) so
+                # cols_cat stays aligned with the bucket offsets
+                c_sub = np.zeros((bq, 2), np.int32)
+                c_sub[:, 1] = builder.SPLIT_QUANTILES
+                c_sub[: len(idx_q)] = cols[idx_q]
+                c_subs.append(c_sub)
             buckets.append((n_blocks, block, bq, r_c))
             idxs.append((idx_q, bq))
+        if split:
+            _offs_h, offs_d, n_loc_d = self._doc_quantiles()
         out = _sharded_batch_step(
             idx.post_doc,
             idx.post_val,
@@ -1153,17 +1294,47 @@ class DistributedSearchEngine:
             # the production fused-in-shard_map configuration
             interpret=(self.mesh.devices.flat[0].platform != "tpu"),
             mesh_=self.mesh,
+            cols_cat=(
+                jnp.asarray(np.concatenate(c_subs, axis=0))
+                if split
+                else None
+            ),
+            quant=offs_d if split else None,
+            n_loc=n_loc_d if split else None,
+            split_p=builder.SPLIT_QUANTILES if split else 0,
         )
-        return out, idxs, nq, k
+        pm = (
+            (qidx, pno, int(pno.max()) + 1 if len(pno) else 1, n_rows_p)
+            if split
+            else None
+        )
+        return out, idxs, pm, nq, k
 
     def _collect(self, fut):
-        out, idxs, nq, k = fut
-        out_g = np.full((nq, k), -1, np.int64)
-        out_v = np.full((nq, k), -1, np.int64)
+        out, idxs, pm, nq, k = fut
+        n_rows = nq if pm is None else pm[3]
+        v = np.full((n_rows, k), -1, np.int64)
+        g = np.full((n_rows, k), -1, np.int64)
         host = np.asarray(out)  # ONE D2H per batch (vals | gids stacked)
         off = 0
         for idx_q, bq in idxs:
-            out_v[idx_q] = host[off : off + len(idx_q), :k]
-            out_g[idx_q] = host[off : off + len(idx_q), k:]
+            v[idx_q] = host[off : off + len(idx_q), :k]
+            g[idx_q] = host[off : off + len(idx_q), k:]
             off += bq
-        return out_g, out_v
+        if pm is not None:
+            # doc-range pieces: scatter piece rows to (nq, mmax, k)
+            # slots and merge per query by (score desc, gid asc) —
+            # pieces are doc-disjoint within every shard, so this IS
+            # the unsplit ranking (SearchEngine._collect argument)
+            qidx, pno, mmax, _n = pm
+            if mmax > 1:
+                pv = np.full((nq, mmax * k), -1, np.int64)
+                pg = np.full((nq, mmax * k), -1, np.int64)
+                pv.reshape(nq, mmax, k)[qidx, pno] = v
+                pg.reshape(nq, mmax, k)[qidx, pno] = g
+                order = np.lexsort((pg, -pv), axis=-1)[:, :k]
+                v = np.take_along_axis(pv, order, axis=1)
+                g = np.take_along_axis(pg, order, axis=1)
+                g = np.where(v > 0, g, -1)
+                v = np.where(v > 0, v, -1)
+        return g[:nq], v[:nq]

@@ -62,6 +62,29 @@ def test_doc_quantile_twins():
     np.testing.assert_array_equal(np.asarray(offs_d), offs)
 
 
+def test_doc_quantile_device_zero_length_row():
+    """A zero-length row whose aligned start aliases a NEIGHBOR row's
+    records (the global-row tables of the sharded engine contain one
+    such row for every term a shard lacks): the device binary search
+    must return all-zero offsets, not the neighbor's counts (regression:
+    the unclamped search probed flat[start] and could emit 1)."""
+    n_docs, p = 1000, 8
+    indptr = np.array([0, 0, 4], np.int32)  # row 0 empty
+    post_doc = np.array([1, 5, 7, 900], np.int32)
+    row_start = np.array([0, 0], np.int32)  # empty row shares start 0
+    flat = np.full(256, n_docs, np.int32)
+    flat[:4] = post_doc
+    offs_h = B.host_row_doc_quantiles(indptr, post_doc, p, n_docs)
+    offs_d = np.asarray(
+        B.device_row_doc_quantiles(
+            jnp.asarray(flat.reshape(2, 128)), jnp.asarray(indptr),
+            jnp.asarray(row_start), p, n_docs,
+        )
+    )
+    np.testing.assert_array_equal(offs_d, offs_h)
+    assert (offs_d[0] == 0).all()
+
+
 def test_split_pieces_match_unsplit_kernel_and_twin():
     """Per-piece kernel output == XLA twin on the same piece plan; the
     device plan expansion (offs gather) == the host piece plan; merged
