@@ -27,15 +27,24 @@ def _lib():
     if _TRIED:
         return _LIB
     _TRIED = True
-    so = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__)))),
-        "native",
-        "libdse_native.so",
-    )
-    try:
-        lib = ctypes.CDLL(so)
-    except OSError:
+    pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    candidates = [
+        os.environ.get("DSE_NATIVE_LIB", ""),
+        # installed wheel: the .so ships inside the package
+        os.path.join(pkg, "_native", "libdse_native.so"),
+        # git checkout: built by `make -C native` at the repo root
+        os.path.join(os.path.dirname(pkg), "native", "libdse_native.so"),
+    ]
+    lib = None
+    for so in candidates:
+        if not so:
+            continue
+        try:
+            lib = ctypes.CDLL(so)
+            break
+        except OSError:
+            continue
+    if lib is None:
         return None
     lib.dse_count_tokens.restype = ctypes.c_int64
     lib.dse_count_tokens.argtypes = [

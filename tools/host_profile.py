@@ -71,22 +71,24 @@ def main():
     def fake_step(*a, **kw):
         return np.ones((kw["n_real"], 2 * kw["k"]), np.int32)
 
-    # --- phase 1: analysis (the native frontend)
+    # --- phase 1: analysis (the native frontend; analyze_rows is the
+    # production search/search_stream entry — it returns rows/found so
+    # _dispatch skips the per-batch segment_rows searchsorted)
     best_an = min(
-        _t(lambda: eng.frontend.analyze(batch, eng.stats))
+        _t(lambda: eng.frontend.analyze_rows(batch, eng.stats))
         for _ in range(iters)
     )
-    pre = eng.frontend.analyze(batch, eng.stats)
+    pre = eng.frontend.analyze_rows(batch, eng.stats)
 
     # --- phase 2+3: plan/stage (dispatch) and assemble (collect),
     # device compute replaced by a shaped dummy
     engine_mod._batch_step = fake_step
     try:
-        eng._dispatch(*pre, k)  # converge the plan cache first
+        eng._dispatch(pre[0], pre[1], k, pre[2], pre[3])  # converge the plan cache first
         best_di = best_co = float("inf")
         for _ in range(iters):
             t0 = time.perf_counter()
-            fut = eng._dispatch(*pre, k)
+            fut = eng._dispatch(pre[0], pre[1], k, pre[2], pre[3])
             t1 = time.perf_counter()
             eng._collect(fut)
             t2 = time.perf_counter()
@@ -96,7 +98,7 @@ def main():
             pr = cProfile.Profile()
             pr.enable()
             for _ in range(4):
-                eng._collect(eng._dispatch(*pre, k))
+                eng._collect(eng._dispatch(pre[0], pre[1], k, pre[2], pre[3]))
             pr.disable()
             s = io.StringIO()
             pstats.Stats(pr, stream=s).sort_stats("cumulative").print_stats(
