@@ -69,6 +69,44 @@ def test_engine_oracle_parity_on_tpu():
 
 
 @needs_tpu
+def test_merge_flip_and_split_parity_on_tpu():
+    """The two round-4 rank levers — MERGE_FLIP (flip-first merge
+    network) and doc-range splitting — must hold oracle bit-identity in
+    compiled Mosaic on the real chip (they were pinned on CPU while the
+    tunnel was down; this is the hardware gate)."""
+    from document_search_engine_tpu.config import IndexConfig, ScoringConfig
+    from document_search_engine_tpu.corpus.synth import (
+        synth_corpus,
+        synth_queries,
+    )
+    from document_search_engine_tpu.engine.engine import SearchEngine
+    from document_search_engine_tpu.oracle import OracleEngine
+    from document_search_engine_tpu.ops import rank_pallas as rp
+
+    docs = synth_corpus(n_docs=140, vocab_size=600, mean_len=40, seed=101)
+    queries = synth_queries(docs, n_queries=8, seed=102) + ["", "zzz"]
+    saved = rp.MERGE_FLIP
+    try:
+        for kind in ("tfidf", "bm25"):
+            cfg = IndexConfig(scoring=ScoringConfig(kind=kind))
+            ora = OracleEngine(cfg)
+            ora.build(docs)
+            oi, os_ = ora.search(queries, k=10)
+            for flip, split in ((True, None), (False, 2), (True, 2)):
+                rp.MERGE_FLIP = flip
+                eng = SearchEngine(cfg)
+                eng.build(docs)
+                eng.scorer = "fused"
+                eng.split_rows = split
+                ei, es = eng.search(queries, k=10)
+                tag = f"{kind}/flip={flip}/split={split}"
+                np.testing.assert_array_equal(ei, oi, tag)
+                np.testing.assert_array_equal(es, os_, tag)
+    finally:
+        rp.MERGE_FLIP = saved
+
+
+@needs_tpu
 def test_exact_div_on_tpu():
     """TPU f32 divide is reciprocal-based (~35% of quotients 1 ulp off
     numpy); builder.exact_div's residual correction must restore IEEE
