@@ -337,11 +337,12 @@ class SearchEngine:
         # Doc-range splitting (ops/schedule.py split_pieces): queries
         # needing more compacted candidate rows than this split into
         # doc-disjoint pieces that rank in smaller (superlinearly
-        # cheaper) regions and merge exactly. None = off (the measured
-        # production default until the hardware A/B runs —
-        # tools/step_ab.py split64). Only the fused scorer with a
-        # single block family supports it (the production config).
-        self.split_rows: int | None = None
+        # cheaper) regions and merge exactly. Default 64 — hardware A/B
+        # (tools/step_ab.py, 1M docs, 8192q): 75.78 -> 70.60 ms/8192
+        # (+7.3% step q/s). None = off. Only the fused scorer with a
+        # single block family takes the split path (_split_active);
+        # other configs ignore the threshold.
+        self.split_rows: int | None = 64
 
     # ------------------------------------------------------------- build
     def build(self, texts) -> None:

@@ -15,10 +15,10 @@ once per query and everything runs on the VPU:
              `lax.sort` has no Pallas TPU lowering, so the network is
              hand-rolled: every stride is a lane/sublane `pltpu.roll`
              pair + select (partner index = f XOR stride). Two schemes
-             (MERGE_FLIP): flip-first mirror half-cleaners (default —
-             merges ascending run pairs directly via one lax.rev group
-             flip per level) or the classic reverse-odd-runs bitonic
-             network; identical outputs, A/B-able via tools/step_ab.py.
+             (MERGE_FLIP): the classic reverse-odd-runs bitonic network
+             (default) or flip-first mirror half-cleaners (rejected on
+             hardware grounds — see the MERGE_FLIP comment); identical
+             outputs, A/B-able via tools/step_ab.py.
 2. run-sum — per-doc score = integer sum of its (<= s, one per slot)
              adjacent contributions: Hillis-Steele segmented scan,
              ceil(log2(s)) shifted passes (sorted rows make segment
@@ -46,20 +46,22 @@ LANES = 128
 
 # Merge-network scheme for stage 1 (merge_rank_body). True = flip-first
 # mirror half-cleaners: every level L merges two ASCENDING L/2-runs with
-# one lax.rev-based group flip + an elementwise keep (min to the low
-# half in order, max to the high half mirrored — a reversed bitonic
-# sequence is still bitonic), then direction-free ascending
-# half-cleaners at strides L/4..1. Compared with the classic
-# reverse-odd-runs network (False) this removes the log2(block)-pass
-# run-reversal prelude, one xor pass per level, and every
-# direction-mask op — ~20% of the merge stage's vector ops at
-# production shapes (block=128, c_region=4096: 5 flip stages + 45
-# passes x ~12 ops vs 7 reversal passes + 50 x ~13). Both schemes
-# produce identical output (same sorted multiset of (d, ci) pairs;
-# fuzz-pinned, and the whole rank path is order-free int32 after the
-# sort). Module-level so tools/step_ab.py can A/B without edits.
-# Default False until the lax.rev lowering + the win are measured on
-# hardware (the dev tunnel was down when this landed).
+# one group flip + an elementwise keep (min to the low half in order,
+# max to the high half mirrored — a reversed bitonic sequence is still
+# bitonic), then direction-free ascending half-cleaners at strides
+# L/4..1. The scheme's ~20%-fewer-ops accounting assumed the group flip
+# is ONE op (lax.rev); hardware verdict (round 4): **Mosaic TPU does
+# not lower `rev` at all** (NotImplementedError at compile), so
+# flip_groups decomposes the reversal into log2(L) xor_perm roll+select
+# passes — which ADDS roughly one full half-cleaner sweep per level and
+# makes the flip scheme strictly more passes than the classic
+# reverse-odd-runs network (False). REJECTED on those grounds; kept
+# compilable (small-shape hardware parity gate in tests/test_tpu_smoke)
+# as documentation and in case a future Mosaic grows a rev/reverse
+# primitive, which would flip the economics back. Both schemes produce
+# identical output (fuzz-pinned; the whole rank path is order-free
+# int32 after the sort). Module-level so tools/step_ab.py can A/B
+# without edits.
 MERGE_FLIP = False
 
 
@@ -156,15 +158,20 @@ def merge_rank_body(
         return jnp.where(f_loc >= j, y, fill)
 
     def flip_groups(x, g_rows: int):
-        """Reverse elements within each g_rows*LANES flat group: lanes
-        reversed, rows reversed within g_rows-row groups (lax.rev —
-        probe-measured cheaper than a roll on hardware)."""
-        y = x[:, ::-1]
-        if g_rows > 1:
-            y = y.reshape(r_dim // g_rows, g_rows, LANES)[
-                :, ::-1, :
-            ].reshape(r_dim, LANES)
-        return y
+        """Reverse elements within each g_rows*LANES flat group. For a
+        pow-2 group size L, reversal is y[f] = x[f XOR (L-1)] (L-1 is
+        all-ones, so (L-1)-f == f XOR (L-1)), composed from one xor_perm
+        per bit. lax.rev would be ONE op but Mosaic TPU does not lower
+        `rev` (hardware-verified NotImplementedError), so the flip costs
+        log2(L) roll+select passes — which is why MERGE_FLIP loses to
+        the classic network on hardware (see MERGE_FLIP docstring) and
+        stays default-off."""
+        size = g_rows * LANES
+        kk = 1
+        while kk < size:
+            x = xor_perm(x, kk)
+            kk *= 2
+        return x
 
     # --- stage 1: merge of the pre-sorted ascending `block`-runs -------
     n_runs = c_region // block
@@ -182,14 +189,17 @@ def merge_rank_body(
             fd = flip_groups(d, level // LANES)
             fci = flip_groups(ci, level // LANES)
             is_low = bit_clear(level // 2)
-            keep = jnp.where(is_low, d <= fd, d >= fd)
+            # boolean-identical to where(is_low, d <= fd, d >= fd);
+            # Mosaic cannot lower a select BETWEEN two i1 vectors
+            # (arith.trunci i8->i1, hardware-verified compile error)
+            keep = (d == fd) | ((d < fd) == is_low)
             d = jnp.where(keep, d, fd)
             ci = jnp.where(keep, ci, fci)
             kk = level // 4
             while kk >= 1:
                 pd = xor_perm(d, kk)
                 pci = xor_perm(ci, kk)
-                keep = jnp.where(bit_clear(kk), d <= pd, d >= pd)
+                keep = (d == pd) | ((d < pd) == bit_clear(kk))
                 d = jnp.where(keep, d, pd)
                 ci = jnp.where(keep, ci, pci)
                 kk //= 2
