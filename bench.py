@@ -37,8 +37,10 @@ BENCH_TERMS_PER_QUERY (8), BENCH_AVG_TERMS (60, postings density),
 BENCH_BATCHES (8 distinct query batches), BENCH_BUILD (1),
 BENCH_BUILD_DEVICE (0), BENCH_SHARDS (1 on TPU: time the 1-shard SPMD
 serving path), BENCH_PACK (1 on TPU: run the real jit CSR pack at full
-scale, on-device), BENCH_PASSES (3), BENCH_SPLIT ('' = off: doc-range
-split threshold in compacted rows, e.g. 64).
+scale, on-device), BENCH_PASSES (5 on TPU), BENCH_SPLIT (doc-range
+split threshold in compacted rows: '' = engine default (64, ON),
+'0' = off, e.g. '128'), BENCH_8M (1 on TPU: 8M-doc config-3 leg with
+HBM accounting), BENCH_STREAM (1 on TPU: 1M-doc streaming-build leg).
 """
 from __future__ import annotations
 

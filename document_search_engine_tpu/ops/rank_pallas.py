@@ -205,9 +205,10 @@ def merge_rank_body(
                 kk //= 2
             level *= 2
     elif n_runs >= 2:
-        # classic bitonic network, kept for A/B (tools/step_ab.py
-        # mergerev) and as the fallback if a backend lacks lax.rev:
-        # reverse odd runs (XOR with block-1, one bit at a time) so runs
+        # classic bitonic network — the DEFAULT (hardware-winning)
+        # scheme; the flip branch above is the kept-compilable A/B
+        # alternative (rejected on hardware: see MERGE_FLIP comment).
+        # Reverse odd runs (XOR with block-1, one bit at a time) so runs
         # alternate ascending/descending — each pair is then bitonic
         odd_run = ~bit_clear(block)
         kk = 1

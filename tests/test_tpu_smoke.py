@@ -94,6 +94,13 @@ def test_merge_flip_and_split_parity_on_tpu():
             oi, os_ = ora.search(queries, k=10)
             for flip, split in ((True, None), (False, 2), (True, 2)):
                 rp.MERGE_FLIP = flip
+                # MERGE_FLIP is a trace-time global and _batch_step is a
+                # module-level jit keyed only on shapes/statics: without
+                # clearing, the (flip=True, split=2) combo would reuse
+                # the executable compiled for (flip=False, split=2) and
+                # never exercise the flip network (ADVICE round 4; same
+                # hazard documented in test_rank_pallas.py).
+                jax.clear_caches()
                 eng = SearchEngine(cfg)
                 eng.build(docs)
                 eng.scorer = "fused"
