@@ -276,6 +276,36 @@ def delete_from_hosts(hosts, global_ids) -> bool:
     return changed
 
 
+def synth_warmup_analysis(stats, config, nq: int, terms_per_query: int,
+                          seed: int):
+    """Synthetic pre-analyzed warmup batch shared by both engines'
+    warmup(): terms sampled df-weighted from the index vocabulary, so
+    heavy and light queries both appear and the plan layout cache seeds
+    a grid close to production traffic's. Returns
+    (slot_h, coeff, rows_g, found_g) or None when there is nothing to
+    sample (empty vocab / all-zero df)."""
+    if len(stats.vocab) == 0:
+        return None
+    rng = np.random.default_rng(seed)
+    df = np.maximum(stats.df.astype(np.float64), 0.0)
+    if df.sum() <= 0:
+        return None
+    tpq = max(1, min(terms_per_query, config.max_query_terms))
+    rows = rng.choice(
+        len(stats.vocab), size=(nq, tpq), p=df / df.sum()
+    ).astype(np.int32)
+    s_full = config.max_query_terms
+    slot_h = np.zeros((nq, s_full), np.uint64)
+    coeff = np.zeros((nq, s_full), F32)
+    rows_g = np.zeros((nq, s_full), np.int32)
+    found_g = np.zeros((nq, s_full), bool)
+    slot_h[:, :tpq] = stats.vocab[rows]
+    coeff[:, :tpq] = F32(1.0)
+    rows_g[:, :tpq] = rows
+    found_g[:, :tpq] = True
+    return slot_h, coeff, rows_g, found_g
+
+
 def slice_active_slots(slot_h: np.ndarray, coeff: np.ndarray):
     """Trim trailing all-zero slot columns to a pow-2 width.
 
@@ -718,26 +748,12 @@ class SearchEngine:
         if queries is not None:
             self.search(queries, k=k)
             return
-        stats = self.stats
-        if len(stats.vocab) == 0:
+        batch = synth_warmup_analysis(
+            self.stats, self.config, nq, terms_per_query, seed
+        )
+        if batch is None:
             return
-        rng = np.random.default_rng(seed)
-        df = np.maximum(stats.df.astype(np.float64), 0.0)
-        if df.sum() <= 0:
-            return
-        tpq = max(1, min(terms_per_query, self.config.max_query_terms))
-        rows = rng.choice(
-            len(stats.vocab), size=(nq, tpq), p=df / df.sum()
-        ).astype(np.int32)
-        s_full = self.config.max_query_terms
-        slot_h = np.zeros((nq, s_full), np.uint64)
-        coeff = np.zeros((nq, s_full), F32)
-        rows_g = np.zeros((nq, s_full), np.int32)
-        found_g = np.zeros((nq, s_full), bool)
-        slot_h[:, :tpq] = stats.vocab[rows]
-        coeff[:, :tpq] = F32(1.0)
-        rows_g[:, :tpq] = rows
-        found_g[:, :tpq] = True
+        slot_h, coeff, rows_g, found_g = batch
         self._collect(self._dispatch(slot_h, coeff, k, rows_g, found_g))
 
     def _plan_key(self, si, host, s, k, mode, families):

@@ -1208,6 +1208,38 @@ class DistributedSearchEngine:
         for key, (nq, naturals) in per_key.items():
             self.plan_cache.seed_plans(key, naturals, nq)
 
+    def warmup(
+        self,
+        queries=None,
+        nq: int = 8192,
+        k: int = 10,
+        terms_per_query: int = 8,
+        seed: int = 0,
+    ) -> None:
+        """Precompile the SPMD serving program before traffic arrives
+        (round-4 VERDICT #4: SearchEngine had warmup() but the sharded
+        engine's first real batch compiled during serving). Same
+        contract as SearchEngine.warmup: with `queries` this is one
+        search; without, a synthetic df-weighted batch seeds the plan
+        layout close to production traffic's. `terms_per_query` must
+        match production traffic's active-slot width
+        (slice_active_slots makes it a jit signature dimension)."""
+        from ..engine.engine import synth_warmup_analysis
+
+        if self.index is None or self.n_docs_total == 0:
+            return
+        if queries is not None:
+            self.search(queries, k=k)
+            return
+        batch = synth_warmup_analysis(
+            self.index.stats, self.config, nq, terms_per_query, seed
+        )
+        if batch is None:
+            return
+        # _dispatch only takes len() of `queries`; the analysis is
+        # supplied pre-built
+        self._collect(self._dispatch(range(nq), k, analyzed=batch))
+
     def _dispatch(self, queries, k: int, analyzed=None):
         """Host planning + ONE fused SPMD dispatch for a query batch.
 

