@@ -2,7 +2,8 @@
 
 Layout: one directory per index —
     config.json            IndexConfig (self-describing index)
-    meta.json              n_docs_total, segment count
+    meta.json              n_docs_total, segment count, converged
+                           plan-cache layouts (zero-grow warm start)
     segment_<i>.npz        all host + device arrays of one segment
 
 Plain npz + json: rebuildable, inspectable, no framework lock-in. Resume
@@ -26,6 +27,12 @@ def save_engine(engine, path: str) -> None:
         "n_segments": len(engine.segments),
         "format_version": 2,  # v2: 128-aligned (X, 128) posting planes
     }
+    # converged plan layouts ride along (round-4 VERDICT #5): a loaded
+    # index replays its serving traffic with ZERO layout grows — each
+    # restored layout compiles once (a disk hit when the persistent
+    # compile cache is warm) instead of re-paying growth generations
+    if getattr(engine, "plan_cache", None) is not None:
+        meta["plan_layouts"] = engine.plan_cache.to_jsonable()
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta, f)
     for i, (host, device) in enumerate(engine.segments):
@@ -121,11 +128,14 @@ def save_sharded(engine, path: str) -> None:
     with open(os.path.join(path, "config.json"), "w") as f:
         f.write(engine.config.to_json())
     hosts = engine.index.hosts if engine.index else []
+    meta = {"n_shards": len(hosts), "sharded": True, "format_version": 2}
+    # converged plan layouts (see save_engine); keys embed the mesh
+    # size and padded geometry, so layouts restored onto a different
+    # mesh are simply never matched (and elastic reshard re-converges)
+    if getattr(engine, "plan_cache", None) is not None:
+        meta["plan_layouts"] = engine.plan_cache.to_jsonable()
     with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump(
-            {"n_shards": len(hosts), "sharded": True, "format_version": 2},
-            f,
-        )
+        json.dump(meta, f)
     for i, h in enumerate(hosts):
         _save_host(h, os.path.join(path, f"shard_{i}.npz"))
 
@@ -160,6 +170,8 @@ def load_sharded(path: str, mesh=None):
     if n_shards != len(hosts):
         hosts = _reshard_hosts(hosts, n_shards, builder)
     engine.index = assemble_sharded(hosts, config, engine.mesh)
+    if meta.get("plan_layouts") and engine.plan_cache is not None:
+        engine.plan_cache.load_jsonable(meta["plan_layouts"])
     return engine
 
 
@@ -251,4 +263,6 @@ def load_engine(path: str, engine_cls=None):
         )
         engine.segments.append([host, device])
     engine.stats = merge_stats([h for h, _ in engine.segments])
+    if meta.get("plan_layouts") and engine.plan_cache is not None:
+        engine.plan_cache.load_jsonable(meta["plan_layouts"])
     return engine

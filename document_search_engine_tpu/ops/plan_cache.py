@@ -128,6 +128,38 @@ class PlanLayoutCache:
             f"hits={self.hits} grows={self.grows}"
         )
 
+    def to_jsonable(self) -> list:
+        """JSON-serializable snapshot of the converged layouts (for the
+        index checkpoint — round-4 VERDICT #5: a freshly loaded index
+        re-paid layout growth, a compile + ~a minute of executable
+        upload per growth on the dev tunnel, before settling). Keys are
+        tuples of ints/strings/None/nested tuples, so repr() is an
+        exact, literal_eval-able encoding."""
+        return [
+            [repr(key), [list(cell) for cell in layout]]
+            for key, layout in sorted(
+                self._layouts.items(), key=lambda kv: repr(kv[0])
+            )
+        ]
+
+    def load_jsonable(self, data) -> None:
+        """Restore layouts saved by to_jsonable. Restoring does not
+        count as growth: a serving process whose traffic fits the
+        restored layouts compiles each one exactly once (a disk-cache
+        hit when the persistent compile cache is warm) and never
+        recompiles. Unparseable entries are skipped — a checkpoint
+        written by a newer key schema must not fail the load."""
+        import ast
+
+        for key_str, cells in data:
+            try:
+                key = ast.literal_eval(key_str)
+            except (ValueError, SyntaxError):
+                continue
+            self._layouts[key] = tuple(
+                tuple(int(x) for x in cell) for cell in cells
+            )
+
     def canonicalize(self, key, natural, nq: int):
         """Map a batch's natural plan [(idx, nb, blk, rc)] onto the
         stable layout for `key`, growing it when needed. Returns
