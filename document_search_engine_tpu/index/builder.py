@@ -691,6 +691,20 @@ def _pad(a, size, fill, dtype):
     return out
 
 
+def shape_bucket(n: int, granule: int = 256) -> int:
+    """Round n up to a jit-stable bucketed size: the next multiple of
+    max(granule, 2^(floor(log2 n) - 4)) — ≤ ~6.25% padding, ~16 buckets
+    per octave. Streaming/incremental device builds pad their triple,
+    vocab and plane shapes to these buckets so similar-sized batches
+    reuse ONE compiled program instead of compiling per exact shape
+    (each distinct shape is a full XLA program; on the dev tunnel a
+    compile + executable upload costs ~seconds-to-minutes, so a
+     10-batch streaming build would otherwise pay it 10x per job)."""
+    n = max(int(n), 1)
+    step = max(granule, 1 << max(int(np.log2(n)) - 4, 0))
+    return ((n + step - 1) // step) * step
+
+
 def pack_device_segment(
     host: SegmentHost,
     config: IndexConfig,
@@ -744,7 +758,10 @@ def build_segment_device(
 
     Values are materialized for this segment's own stats; multi-segment
     callers run refresh_segment_vals afterwards (device-side, O(delta)).
-    Produces bit-identical indexes and results to build_segment (tested).
+    Produces bit-identical results to build_segment, and plane/table
+    contents whose true prefix is bit-identical (shapes are bucketed —
+    see shape_bucket — so streaming and incremental builds reuse one
+    compiled program per size bucket instead of one per batch; tested).
     """
     n_docs = analyzed.n_docs
     vocab, rows, df = segment_vocab(analyzed)
@@ -753,19 +770,40 @@ def build_segment_device(
         np.diff(analyzed.doc_ptr).astype(np.int64),
     )
     d_pad = round_up(n_docs + 1, config.docs_pad_to)
+    # jit-stable shape buckets (shape_bucket): triples, vocab and plane
+    # rows pad up ≤ ~6.25% so every similar-sized streaming/incremental
+    # batch reuses ONE compiled pack/align/materialize program. Padding
+    # is sentinel-valued and provably inert: sentinel rows (t_cap) sort
+    # last, fall outside indptr's true prefix, and their plane scatters
+    # land at OOB positions (dropped by XLA scatter semantics) — the
+    # packed prefix is bit-identical to the unbucketed build (tested).
+    nnz = len(rows)
+    t_cap = shape_bucket(len(vocab) + 1)  # strictly > true vocab: the
+    # sentinel row's row_start gather must hit a padded (OOB) slot
+    nnz_cap = shape_bucket(max(nnz, 1))
+    rows_p = _pad(rows, nnz_cap, t_cap, np.int32)
+    docs_p = _pad(docs, nnz_cap, d_pad, np.int32)
+    tfs_p = _pad(analyzed.tfs, nnz_cap, 0, np.int32)
     # one H2D of the triples, then everything array-shaped is jit
     r_d, d_d, t_d, indptr_d, _df_d, _dl_d = device_pack(
-        jnp.asarray(rows),
-        jnp.asarray(docs),
-        jnp.asarray(analyzed.tfs),
-        n_terms=len(vocab),
-        n_docs=max(n_docs, 1),
+        jnp.asarray(rows_p),
+        jnp.asarray(docs_p),
+        jnp.asarray(tfs_p),
+        n_terms=t_cap,
+        n_docs=d_pad,
     )
-    indptr = np.asarray(indptr_d)  # small D2H: planning needs it
+    # small D2H: planning needs the true-prefix indptr (indptr[t] for
+    # t <= vocab counts only real postings — sentinels sort after)
+    indptr = np.asarray(indptr_d)[: len(vocab) + 1]
     row_start, x_rows = aligned_geometry(indptr, config.nnz_pad_to)
-    row_start_d = jnp.asarray(row_start.astype(np.int32))
+    x_cap = shape_bucket(max(x_rows, 1))
+    # padded row_start entries point one-past-the-plane so sentinel
+    # postings scatter out of bounds (dropped); real rows unaffected
+    row_start_d = jnp.asarray(
+        _pad(row_start, t_cap, x_cap * 128, np.int64).astype(np.int32)
+    )
     doc2, tf2 = device_align_planes(
-        r_d, d_d, t_d, indptr_d, row_start_d, x_rows=x_rows,
+        r_d, d_d, t_d, indptr_d, row_start_d, x_rows=x_cap,
         n_docs=n_docs,
     )
     host = SegmentHost(

@@ -106,15 +106,24 @@ def test_device_build_matches_host_build():
         hh, hd = host_e.segments[0]
         np.testing.assert_array_equal(dh.indptr, hh.indptr)
         np.testing.assert_array_equal(dh.df, hh.df)
-        np.testing.assert_array_equal(
-            np.asarray(dd.post_doc), np.asarray(hd.post_doc), kind
-        )
-        np.testing.assert_array_equal(
-            np.asarray(dd.post_val), np.asarray(hd.post_val), kind
-        )
-        np.testing.assert_array_equal(
-            np.asarray(dd.row_start), np.asarray(hd.row_start), kind
-        )
+        # device planes/tables are shape-bucketed (builder.shape_bucket,
+        # round 5): the true prefix must be bit-identical to the host
+        # build and the padded tail pure sentinel/zero
+        hx = np.asarray(hd.post_doc).shape[0]
+        ddoc, hdoc = np.asarray(dd.post_doc), np.asarray(hd.post_doc)
+        np.testing.assert_array_equal(ddoc[:hx], hdoc, kind)
+        assert (ddoc[hx:] == dh.n_docs).all(), kind
+        dval, hval = np.asarray(dd.post_val), np.asarray(hd.post_val)
+        np.testing.assert_array_equal(dval[:hx], hval, kind)
+        assert (dval[hx:] == 0).all(), kind
+        drs, hrs = np.asarray(dd.row_start), np.asarray(hd.row_start)
+        np.testing.assert_array_equal(drs[: dh.n_terms], hrs, kind)
+        # padded row_start entries point one-past-the-plane (scatter
+        # sink); padded indptr entries repeat the true nnz
+        assert (drs[dh.n_terms :] == ddoc.shape[0] * 128).all(), kind
+        dip = np.asarray(dd.indptr)
+        np.testing.assert_array_equal(dip[: dh.n_terms + 1], dh.indptr)
+        assert (dip[dh.n_terms + 1 :] == dh.indptr[-1]).all(), kind
         di, ds = dev_e.search(queries, k=10)
         hi, hs = host_e.search(queries, k=10)
         np.testing.assert_array_equal(di, hi)
@@ -164,6 +173,48 @@ def test_device_build_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         re.search(queries, k=10)[0], eng.search(queries, k=10)[0]
     )
+
+
+def _stratified_analyzed(n_docs, tpd, vocab, seed):
+    """AnalyzedDocs with exactly n_docs*tpd postings and `vocab` terms:
+    per doc one term per vocab stratum (hashes ascending per doc)."""
+    rng = np.random.default_rng(seed)
+    vocab_h = np.unique(
+        rng.integers(1, 2**63, vocab * 2, dtype=np.uint64)
+    )[:vocab]
+    stride = vocab // tpd
+    idx = rng.integers(0, stride, (n_docs, tpd)) + np.arange(tpd) * stride
+    hashes = vocab_h[idx].ravel()
+    tfs = rng.integers(1, 4, n_docs * tpd).astype(np.int32)
+    return builder.AnalyzedDocs(
+        hashes=hashes,
+        tfs=tfs,
+        doc_ptr=np.arange(n_docs + 1, dtype=np.int64) * tpd,
+        dl=tfs.reshape(n_docs, tpd).sum(1).astype(np.int32),
+    )
+
+
+def test_device_build_shapes_are_bucketed_for_jit_reuse():
+    """Streaming/incremental device builds must reuse compiled programs
+    across similar-sized batches (round-4 VERDICT #7 enabler): two
+    batches with equal doc counts and same-bucket nnz/vocab must yield
+    IDENTICAL device array shapes (the jit signature), and shape_bucket
+    must bound its padding at ~6.25%."""
+    from document_search_engine_tpu.index.builder import shape_bucket
+
+    for n in (1, 7, 255, 256, 1000, 5000, 54_100_000):
+        b = shape_bucket(n)
+        assert b >= n
+        assert b - n <= max(256, n // 16), (n, b)
+    cfg = IndexConfig()
+    a1 = _stratified_analyzed(100, 8, 350, seed=61)
+    a2 = _stratified_analyzed(100, 8, 350, seed=62)
+    _h1, d1 = builder.build_segment_device(a1, cfg, doc_base=0)
+    _h2, d2 = builder.build_segment_device(a2, cfg, doc_base=100)
+    for name in ("post_doc", "post_val", "post_tf", "indptr", "row_start"):
+        s1 = getattr(d1, name).shape
+        s2 = getattr(d2, name).shape
+        assert s1 == s2, (name, s1, s2)
 
 
 def test_merge_stats():
