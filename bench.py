@@ -38,9 +38,10 @@ BENCH_BATCHES (8 distinct query batches), BENCH_BUILD (1),
 BENCH_BUILD_DEVICE (0), BENCH_SHARDS (1 on TPU: time the 1-shard SPMD
 serving path), BENCH_PACK (1 on TPU: run the real jit CSR pack at full
 scale, on-device), BENCH_PASSES (5 on TPU), BENCH_SPLIT (doc-range
-split threshold in compacted rows: '' = engine default (64, ON),
-'0' = off, e.g. '128'), BENCH_8M (1 on TPU: 8M-doc config-3 leg with
-HBM accounting), BENCH_STREAM (1 on TPU: 1M-doc streaming-build leg).
+split threshold in compacted rows: '' = engine default (OFF since the
+round-5 sweep), '0' = off, e.g. '64'), BENCH_8M (1 on TPU: 8M-doc
+config-3 leg with HBM accounting), BENCH_STREAM (1 on TPU: 1M-doc
+streaming-build leg).
 """
 from __future__ import annotations
 
@@ -837,8 +838,7 @@ def main():
     # global-row tables, shard_map, all_gather, replicated merge.
     def run_sharded():
         deng = sharded_from_engine(eng, cfg)
-        if eng.split_rows is not None:  # BENCH_SPLIT applies to both
-            deng.split_rows = eng.split_rows
+        deng.split_rows = eng.split_rows  # BENCH_SPLIT applies to both
         t0 = time.perf_counter()
         deng.preplan(batches, k=k)
         sh_first = None

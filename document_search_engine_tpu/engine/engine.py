@@ -374,12 +374,16 @@ class SearchEngine:
         # Doc-range splitting (ops/schedule.py split_pieces): queries
         # needing more compacted candidate rows than this split into
         # doc-disjoint pieces that rank in smaller (superlinearly
-        # cheaper) regions and merge exactly. Default 64 — hardware A/B
-        # (tools/step_ab.py, 1M docs, 8192q): 75.78 -> 70.60 ms/8192
-        # (+7.3% step q/s). None = off. Only the fused scorer with a
-        # single block family takes the split path (_split_active);
-        # other configs ignore the threshold.
-        self.split_rows: int | None = 64
+        # cheaper) regions and merge exactly. Default OFF — the round-4
+        # adoption (+7.3% at the time) REVERSED in the round-5 sweep on
+        # the same protocol (tools/step_ab.py, 1M docs, 8192q):
+        # split0 ~66 ms vs split64 ~70.6 ms clean-window (-6.5%), and
+        # the split path's extra per-piece sub-programs make it far
+        # more sensitive to tunnel/dispatch weather (86.8 ms worst leg
+        # vs 75.1 for off). Set an int (e.g. 64) to enable. Only the
+        # fused scorer with a single block family takes the split path
+        # (_split_active); other configs ignore the threshold.
+        self.split_rows: int | None = None
 
     # ------------------------------------------------------------- build
     def build(self, texts) -> None:

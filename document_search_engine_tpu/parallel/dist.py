@@ -730,10 +730,12 @@ class DistributedSearchEngine:
         # fleet-uniform (it is part of the replicated plan, decided
         # from max-over-shards need); record ranges and doc limits are
         # per-shard, gathered on device from resident quantile tables
-        # (_sharded_quantiles). Default 64 per the single-chip hardware
-        # A/B (tools/step_ab.py: +7.3% step q/s at 1M docs); None = off
-        # (the OFF path compiles the byte-identical pre-split programs).
-        self.split_rows: int | None = 64
+        # (_sharded_quantiles). Default OFF per the round-5 single-chip
+        # hardware sweep (tools/step_ab.py: split off is ~6.5% faster
+        # and far less dispatch-weather-sensitive than split64 at
+        # DEPTH=8/block=4096 — see SearchEngine.split_rows); the OFF
+        # path compiles the byte-identical pre-split programs.
+        self.split_rows: int | None = None
         # stable compiled-plan layouts (ops/plan_cache.py; see
         # SearchEngine.plan_cache — one SPMD program per traffic shape
         # instead of one per batch)

@@ -138,13 +138,14 @@ def main():
     batch = [" ".join(tokens_by_row[r] for r in qr) for qr in rows]
     pre = eng.frontend.analyze(batch, eng.stats)
 
-    results = {}
+    results = []  # (name, ms) pairs — repeated levers (A-B-A) keep
+    # every leg instead of dict-collapsing to the last one
 
     def run(name):
         args, kw = capture_step_args(eng, pre, k)
         ms = time_step(args, kw, iters, depth, nq) * 1e3
-        results[name] = ms
-        base = results.get("baseline")
+        results.append((name, ms))
+        base = results[0][1] if results[0][0] == "baseline" else None
         rel = f" ({(base/ms-1)*+100:+.1f}% vs baseline)" if base else ""
         log(f"{name}: {ms:.2f} ms/batch -> {nq/ms*1e3:,.0f} q/s{rel}")
 
@@ -156,6 +157,7 @@ def main():
         max_stack=fused_pallas.MAX_STACK,
         budget=fused_pallas.STACK_ROWS_BUDGET,
         families=None,
+        split_rows=eng.split_rows,  # engine default, NOT None
     )
 
     def apply(name):
@@ -186,7 +188,7 @@ def main():
         fused_pallas.STACK_ROWS_BUDGET = DEF["budget"]
         eng.block_families = DEF["families"]
         eng.scorer = "fused"
-        eng.split_rows = None
+        eng.split_rows = DEF["split_rows"]
 
     t0 = time.perf_counter()
     run("baseline")
@@ -203,7 +205,7 @@ def main():
         _fresh_plan_cache(eng)
         jax.clear_caches()
 
-    log(f"results: { {kk: round(v, 2) for kk, v in results.items()} }")
+    log(f"results: {[(kk, round(v, 2)) for kk, v in results]}")
 
 
 if __name__ == "__main__":
