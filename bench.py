@@ -30,7 +30,7 @@ build docs/sec over a real synthetic corpus.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"};
 vs_baseline is value / 10_000 (the BASELINE.json:5 target).
 
-Env knobs: BENCH_DOCS (default 1_000_000), BENCH_NQ (4096), BENCH_K (10),
+Env knobs: BENCH_DOCS (default 1_000_000), BENCH_NQ (8192), BENCH_K (10),
 BENCH_ITERS (24), BENCH_KIND (bm25), BENCH_DEPTH (8, pipelining),
 BENCH_SCORER ('' = platform default | fused | xla | xla_rank),
 BENCH_TERMS_PER_QUERY (8), BENCH_AVG_TERMS (60, postings density),
