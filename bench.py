@@ -971,8 +971,14 @@ def main():
             f">{es.auto_compact_segments} segments; H2D tunnel-bound "
             f"here, GB/s on real TPU hosts)"
         )
-        ids, _sc = es.search(["s000001 s000100", "s000007"], k=10)
-        assert (ids >= 0).any(), "streaming-built index must serve"
+        # serve-ability of streaming-built indexes is pinned bit-identical
+        # to bulk builds by the suite (tests/test_engine_features.py
+        # test_build_streaming_equals_bulk); a device
+        # search here would compile a fresh tiny-nq program (~10 min of
+        # tunnel time in the driver run) to re-check it
+        assert nnz > 0 and es.n_docs_total == n_s, (
+            "streaming build produced an empty index"
+        )
         return {
             "n_docs": n_s,
             "batches": len(text),
