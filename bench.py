@@ -61,6 +61,39 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+class LegTimeout(Exception):
+    """A bench phase exceeded its watchdog budget (observed in the wild:
+    a tunnel RPC that never returns — the process sat 45+ min at zero
+    CPU and the JSON artifact never printed). Converted to an exception
+    so guarded legs are skipped instead of hanging the whole run."""
+
+
+def with_alarm(fn, secs: int):
+    """Run fn() under a SIGALRM watchdog; raise LegTimeout at secs.
+    The handler interrupts Python-level waits AND most blocking C calls
+    (EINTR surfaces the pending exception); a leg whose RPC dies mid-
+    call stops costing wall clock instead of stalling the artifact."""
+    import signal
+
+    if secs <= 0 or not hasattr(signal, "SIGALRM"):
+        return fn()
+
+    def _h(_sig, _frm):
+        raise LegTimeout(f"phase exceeded its {secs}s watchdog")
+
+    old = signal.signal(signal.SIGALRM, _h)
+    prev_remaining = signal.alarm(secs)  # nesting: outer watchdog left
+    t0 = time.monotonic()
+    try:
+        return fn()
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+        if prev_remaining:  # re-arm the outer watchdog's remainder
+            left = prev_remaining - (time.monotonic() - t0)
+            signal.alarm(max(1, int(left)))
+
+
 def tunnel_probe(on_tpu):
     """Fixed-size tunnel-health covariate (round-4 VERDICT #1a): 1 MB
     H2D + 1 MB D2H, timed. Serving throughput tracks the dev tunnel's
@@ -92,34 +125,61 @@ def timed_serving_passes(
     if nothing ran; raises the last error if every pass failed."""
     qps_list, probes = [], []
     last_err = None
+    hung = 0
     for p in range(passes):
-        probe = tunnel_probe(on_tpu)
+        if hung >= 2:
+            log(f"{label}: abandoning remaining passes after {hung} "
+                f"watchdog-hung passes")
+            break
+        try:
+            probe = with_alarm(lambda: tunnel_probe(on_tpu), 120)
+        except Exception as e:  # noqa: BLE001 — tunnel weather
+            log(f"{label} pass {p + 1}/{passes} probe FAILED: "
+                f"{type(e).__name__}: {e}")
+            probe = None
         for attempt in range(3):
             # the dev tunnel occasionally drops endpoints mid-run; a
-            # failed pass must not lose the passes already measured
+            # failed (or watchdog-hung) pass must not lose the passes
+            # already measured
             try:
-                t0 = time.perf_counter()
-                n_out = 0
-                lat, submit_t = [], []
 
-                def timed_batches():
-                    for i in range(iters):
-                        submit_t.append(time.perf_counter())
-                        yield batches[i % len(batches)]
+                def one_pass():
+                    t0 = time.perf_counter()
+                    n_out = 0
+                    lat, submit_t = [], []
 
-                for ids, _sc in eng_like.search_stream(
-                    timed_batches(), k=k, depth=depth
-                ):
-                    lat.append(time.perf_counter() - submit_t[len(lat)])
-                    n_out += len(ids)
-                dt = time.perf_counter() - t0
-                assert n_out == nq * iters
+                    def timed_batches():
+                        for i in range(iters):
+                            submit_t.append(time.perf_counter())
+                            yield batches[i % len(batches)]
+
+                    for ids, _sc in eng_like.search_stream(
+                        timed_batches(), k=k, depth=depth
+                    ):
+                        lat.append(
+                            time.perf_counter() - submit_t[len(lat)]
+                        )
+                        n_out += len(ids)
+                    dt = time.perf_counter() - t0
+                    assert n_out == nq * iters
+                    return dt, lat
+
+                # healthy pass ~2 s; the sickest recorded ~4 s — 420 s
+                # only fires on a dead endpoint, not tunnel weather
+                dt, lat = with_alarm(one_pass, 420)
             except Exception as e:  # noqa: BLE001 — tunnel weather
                 last_err = e
                 log(
                     f"{label} pass {p + 1}/{passes} attempt "
                     f"{attempt + 1}/3 FAILED: {type(e).__name__}: {e}"
                 )
+                if isinstance(e, LegTimeout):
+                    # a hang already cost 420 s and a dead endpoint
+                    # does not heal in 45 s — no retry; two hung
+                    # passes abandon the leg with whatever passes are
+                    # in hand (or raise into guarded() if none are)
+                    hung += 1
+                    break
                 time.sleep(45)
                 continue
             qps_p = nq * iters / dt
@@ -569,6 +629,7 @@ def bench_device_pack(n_docs, vocab, df_by_row, cfg, eng):
 
 
 def main():
+    t_run0 = time.perf_counter()  # BENCH_DEADLINE reference (guarded)
     n_docs = int(os.environ.get("BENCH_DOCS", 1_000_000))
     # 8192 is the measured sweet spot on the dev tunnel: the ~35 ms
     # serialized dispatch floor amortizes while serving stays within ~2%
@@ -788,11 +849,19 @@ def main():
     qps = primary["best"]
 
     # Secondary metrics run after the primary number is in hand; a
-    # tunnel drop inside one must not lose the JSON line, so each runs
-    # guarded (logged and skipped on failure).
-    def guarded(name, fn, default=0.0):
+    # tunnel drop OR a dead-endpoint hang inside one must not lose the
+    # JSON line, so each runs guarded: logged and skipped on failure,
+    # watchdog-bounded (with_alarm), and skipped entirely once the run
+    # is past BENCH_DEADLINE seconds (the artifact must print before
+    # any plausible driver budget; a healthy full run is ~25 min).
+    deadline = int(os.environ.get("BENCH_DEADLINE", "3300"))
+
+    def guarded(name, fn, default=0.0, timeout=900):
+        if deadline and time.perf_counter() - t_run0 > deadline:
+            log(f"{name} SKIPPED: past the {deadline}s run deadline")
+            return default
         try:
-            return fn()
+            return with_alarm(fn, timeout)
         except Exception as e:  # noqa: BLE001 — tunnel weather
             log(f"{name} SKIPPED after error: {type(e).__name__}: {e}")
             return default
@@ -819,7 +888,8 @@ def main():
         )
         return pre
 
-    pre = guarded("serving w/o analysis", run_wo_analysis, default=None)
+    pre = guarded("serving w/o analysis", run_wo_analysis, default=None,
+                  timeout=420)
     if pre is None:
         pre = [eng.frontend.analyze(b, eng.stats) for b in batches]
 
@@ -829,6 +899,7 @@ def main():
         lambda: step_only_qps(
             eng, pre[0], k, iters, depth, nq, "device step only"
         ),
+        timeout=420,
     )
 
     # ---- secondary: the SPMD sharded serving path on the same index ----
@@ -876,7 +947,8 @@ def main():
 
     sharded = None
     if os.environ.get("BENCH_SHARDS", "1" if on_tpu else "0") == "1":
-        sharded = guarded("sharded serving", run_sharded, default=None)
+        sharded = guarded("sharded serving", run_sharded, default=None,
+                          timeout=1500)
 
     # ---- secondary: the real jit CSR pack at full scale ----------------
     pack_secs = 0.0
@@ -940,7 +1012,7 @@ def main():
 
     m8 = None
     if os.environ.get("BENCH_8M", "1" if on_tpu else "0") == "1":
-        m8 = guarded("8M leg", run_8m, default=None)
+        m8 = guarded("8M leg", run_8m, default=None, timeout=2100)
 
     # ---- streaming-build scale leg (BASELINE.json:10, config 4) --------
     def run_stream():
@@ -990,7 +1062,8 @@ def main():
 
     stream = None
     if os.environ.get("BENCH_STREAM", "1" if on_tpu else "0") == "1":
-        stream = guarded("streaming build leg", run_stream, default=None)
+        stream = guarded("streaming build leg", run_stream, default=None,
+                         timeout=1200)
 
     out = {
         "metric": "queries_per_sec_per_chip",
