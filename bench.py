@@ -41,7 +41,8 @@ scale, on-device), BENCH_PASSES (5 on TPU), BENCH_SPLIT (doc-range
 split threshold in compacted rows: '' = engine default (OFF since the
 round-5 sweep), '0' = off, e.g. '64'), BENCH_8M (1 on TPU: 8M-doc
 config-3 leg with HBM accounting), BENCH_STREAM (1 on TPU: 1M-doc
-streaming-build leg).
+streaming-build leg), BENCH_DEADLINE (3300 s: optional legs are skipped
+past this so the JSON artifact always prints; 0 disables).
 """
 from __future__ import annotations
 
