@@ -30,7 +30,7 @@ build docs/sec over a real synthetic corpus.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"};
 vs_baseline is value / 10_000 (the BASELINE.json:5 target).
 
-Env knobs: BENCH_DOCS (default 1_000_000), BENCH_NQ (8192), BENCH_K (10),
+Env knobs: BENCH_DOCS (default 1_000_000), BENCH_NQ (16384), BENCH_K (10),
 BENCH_ITERS (24), BENCH_KIND (bm25), BENCH_DEPTH (8, pipelining),
 BENCH_SCORER ('' = platform default | fused | xla | xla_rank),
 BENCH_TERMS_PER_QUERY (8), BENCH_AVG_TERMS (60, postings density),
@@ -632,11 +632,17 @@ def bench_device_pack(n_docs, vocab, df_by_row, cfg, eng):
 def main():
     t_run0 = time.perf_counter()  # BENCH_DEADLINE reference (guarded)
     n_docs = int(os.environ.get("BENCH_DOCS", 1_000_000))
-    # 8192 is the measured sweet spot on the dev tunnel: the ~35 ms
-    # serialized dispatch floor amortizes while serving stays within ~2%
-    # of the device step (65.2k qps vs 52.2k at 4096; 16384 adds 2x
-    # latency for <1% more)
-    nq = int(os.environ.get("BENCH_NQ", 8192))
+    # 16384 is the measured sweet spot on the dev tunnel (round-5
+    # tools/nq_ab.py, interleaved probed legs at 1M docs): serving
+    # median 118.7k vs 97.1k q/s at 8192 in the same windows (+22% —
+    # the per-batch fixed costs amortize and the leg is far less
+    # weather-sensitive: <2% pass spread vs 1.3x), while step-only is
+    # within 2.6% of 8192's (the device step scales clean). 32768
+    # REJECTED: +6% serving only in sick-tunnel windows, -7% step-only
+    # capacity (284.0 vs 2x131.6 ms) and 2x latency. The round-3-era
+    # 8192 rationale predated the round-4/5 kernel levers that cut the
+    # step from ~107 to ~66 ms/8192.
+    nq = int(os.environ.get("BENCH_NQ", 16384))
     k = int(os.environ.get("BENCH_K", 10))
     iters = int(os.environ.get("BENCH_ITERS", 24))
     kind = os.environ.get("BENCH_KIND", "bm25")
