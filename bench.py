@@ -265,6 +265,8 @@ def lever_config(eng, depth, nq, iters, k, kind):
         if eng.scorer_mode.startswith("fused")
         else DEFAULT_FAMILIES
     )
+    from document_search_engine_tpu.ops import rank_pallas as rp
+
     return {
         "scorer": eng.scorer_mode,
         "kind": kind,
@@ -272,6 +274,8 @@ def lever_config(eng, depth, nq, iters, k, kind):
         "kernel_depth": fp.DEPTH,
         "granule_rows": fp.GRANULE_ROWS,
         "max_stack": fp.MAX_STACK,
+        "unique_keys": fp.UNIQUE_KEYS,
+        "merge_flip": rp.MERGE_FLIP,
         "families": [list(f) for f in fams],
         "plan_min_blocks": eng.plan_min_blocks,
         "pipeline_depth": depth,

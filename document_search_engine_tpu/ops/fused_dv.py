@@ -43,7 +43,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_pallas import DEPTH
+from .fused_pallas import DEPTH, DST_MASK
 from .rank_pallas import LANES, merge_rank_body
 
 
@@ -210,7 +210,10 @@ def _fused_dv_kernel(
             rel = flat40 - off * LANES
             valid = (rel >= 0) & (rel < rem_ref[q, 0, j])
             inblock = (rel >= 0) & (rel < block)
-            dst = q * r_c + dstrow_ref[q, 0, j]
+            # dstrow carries the slot id in its high bits (fused_pallas
+            # UNIQUE_KEYS packing); this kernel ranks raw doc ids (the
+            # tie-safe merge), so only the row offset is used
+            dst = q * r_c + (dstrow_ref[q, 0, j] & DST_MASK)
             base = dst + ALIGN_ROWS - off  # landed row 0's dacc row
             old_d = dacc[pl.ds(base, rows40), :]
             old_ci = ciacc[pl.ds(base, rows40), :]

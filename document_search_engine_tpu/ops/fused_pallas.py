@@ -61,6 +61,41 @@ GRANULE_ROWS = 1
 MAX_STACK = 16
 STACK_ROWS_BUDGET = 2048  # max stacked scratch rows (2 x 1 MiB planes)
 
+# Unique candidate keys: sort (doc << kb) | slot instead of the raw doc
+# id. CSR rows hold unique docs, so (doc, slot) is unique within a plan
+# row's buffer — REAL keys never tie, and the only remaining ties are
+# sentinel-vs-sentinel (constant fill), whose ci payloads are all 0.
+# The merge's tie-consistency term exists solely to stop a tied
+# compare-exchange from duplicating one payload and dropping the
+# other; duplicating a 0 over a 0 is a no-op, so the term can go:
+# keep = (d < pd) == eff instead of (d == pd) | ((d < pd) == eff),
+# -2 of the 12 ops per merge stage (~-17% of the merge, which the
+# roofline puts at ~80% of the VPU-issue-bound rank pipeline). The
+# 2-op keying on arrival rides the DMA phase, which is fully hidden
+# behind the rank pipeline at DEPTH=8/block=4096. Results are
+# bit-identical (run-sums are order-free and equal-doc groups land
+# adjacent either way; parity-gated). The slot id reaches the kernel
+# packed into dstrow bits SLOT_SHIFT+ (destination rows are < 2^24 by
+# construction — asserted). Module-level for tools/step_ab.py A/Bs:
+# like MERGE_FLIP, flipping it needs jax.clear_caches() (jit programs
+# are keyed on shapes/statics only).
+UNIQUE_KEYS = True
+SLOT_SHIFT = 24  # dstrow bits [SLOT_SHIFT, 31) carry the slot index
+DST_MASK = (1 << SLOT_SHIFT) - 1
+
+
+def key_bits_for(s: int, n_docs: int) -> int:
+    """Key shift for unique candidate keys: ceil(log2(s)) bits of slot
+    id below the doc id, or 0 when the lever is off or the key space
+    would overflow int32 (the constant sentinel fill is
+    n_docs << kb, the largest key)."""
+    if not UNIQUE_KEYS:
+        return 0
+    kb = max(1, int(np.ceil(np.log2(max(s, 2)))))
+    if (n_docs << kb) >= 2**31:
+        return 0
+    return kb
+
 
 def pick_stack(bq: int, r_c: int) -> int:
     """Largest pow-2 q_stack that divides the bucket, respects MAX_STACK
@@ -137,6 +172,7 @@ def plan_tables(
     srcrow = np.full((nq, n_blocks), -1, np.int32)
     rem = np.zeros((nq, n_blocks), np.int32)
     abits = np.zeros((nq, n_blocks), np.int32)
+    slotno = np.zeros((nq, n_blocks), np.int32)
     cbits = coeff.astype(np.float32).view(np.int32)
     starts128 = (
         (row_start[rows] + start_al) // LANES
@@ -153,9 +189,14 @@ def plan_tables(
             in_t, lens[:, t : t + 1] - off_b * block, rem
         ).astype(np.int32)
         abits = np.where(in_t, cbits[:, t : t + 1], abits)
+        slotno = np.where(in_t, np.int32(t), slotno)
     crows = _compact_rows(rem, block)
     dstrow = np.zeros((nq, n_blocks), np.int32)
     np.cumsum(crows[:, :-1], axis=1, out=dstrow[:, 1:])
+    # slot id rides in dstrow's high bits (unique candidate keys); the
+    # destination-row space is bounded by the block budget
+    assert n_blocks * b128 <= DST_MASK and s <= 1 << (31 - SLOT_SHIFT)
+    dstrow |= slotno << SLOT_SHIFT
     return (
         srcrow.reshape(nq, 1, n_blocks),
         rem.reshape(nq, 1, n_blocks),
@@ -221,6 +262,7 @@ def expand_plan_tables(
     srcrow = jnp.full((nq, n_blocks), -1, jnp.int32)
     rem = jnp.zeros((nq, n_blocks), jnp.int32)
     abits = jnp.zeros((nq, n_blocks), jnp.int32)
+    slotno = jnp.zeros((nq, n_blocks), jnp.int32)
     for t in range(s):
         in_t = (jj >= blk_cum[:, t : t + 1]) & (
             jj < blk_cum[:, t + 1 : t + 2]
@@ -229,8 +271,12 @@ def expand_plan_tables(
         srcrow = jnp.where(in_t, starts128[:, t : t + 1] + off_b * b128, srcrow)
         rem = jnp.where(in_t, lens[:, t : t + 1] - off_b * block, rem)
         abits = jnp.where(in_t, cbits[:, t : t + 1], abits)
+        slotno = jnp.where(in_t, jnp.int32(t), slotno)
     crows = _compact_rows(rem, block)
     dstrow = jnp.cumsum(crows, axis=1) - crows  # exclusive
+    # slot id in dstrow's high bits — bit-identical to the host planner
+    assert n_blocks * b128 <= DST_MASK and s <= 1 << (31 - SLOT_SHIFT)
+    dstrow = dstrow | (slotno << SLOT_SHIFT)
     return (
         srcrow.reshape(nq, 1, n_blocks),
         rem.reshape(nq, 1, n_blocks),
@@ -256,12 +302,19 @@ def _fused_kernel(
     r_c: int,
     q_stack: int,
     has_dlim: bool = False,
+    key_bits: int = 0,
 ):
     """One program serves q_stack queries: query q's compacted candidate
     region is rows [q*r_c, (q+1)*r_c), and the whole rank pipeline runs
     region-parallel over the stacked buffer (merge_rank_body q_regions)
     so the per-stage dependency latency — the measured bottleneck once
     buffers are compacted — is paid once for q_stack queries.
+
+    key_bits > 0 (UNIQUE_KEYS): candidate keys are (doc << key_bits) |
+    slot, so real keys never tie and the remaining sentinel ties carry
+    equal zero payloads — the merge runs the cheaper 2-op keep mask
+    (see the UNIQUE_KEYS comment). merge_rank_body recovers true doc
+    ids with one shift.
 
     has_dlim (doc-range splitting): each plan row additionally carries
     [d_lo, d_hi) doc limits; arriving postings outside the range are
@@ -280,9 +333,15 @@ def _fused_kernel(
     b128 = block // LANES
     # sentinel-fill once: compacted stores cover only real granule rows
     # (plus each store's static-width tail, overwritten by the next
-    # store or left at its masked sentinel value)
-    dacc[:] = jnp.full((q_stack * r_c + b128, LANES), n_docs, jnp.int32)
-    ciacc[:] = jnp.zeros((q_stack * r_c + b128, LANES), jnp.int32)
+    # store or left at its masked sentinel value). The fill stays a
+    # CONSTANT under unique keys — sentinel-sentinel ties are harmless
+    # (a tie under the 2-op keep mask duplicates one payload, and every
+    # sentinel's ci payload is 0) and a position-unique iota fill costs
+    # two full-size VMEM temporaries (hardware-verified scoped-vmem OOM
+    # at production shapes, 16.12M > 16M limit).
+    n_rows = q_stack * r_c + b128
+    dacc[:] = jnp.full((n_rows, LANES), n_docs << key_bits, jnp.int32)
+    ciacc[:] = jnp.zeros((n_rows, LANES), jnp.int32)
 
     def get_dma(q, j, slot):
         src = srcrow_ref[q, 0, j]
@@ -350,8 +409,21 @@ def _fused_kernel(
             # static b128-row store width overhangs into rows the NEXT
             # store (same or next query, ascending jj) overwrites, or
             # into masked sentinels
-            dst = q * r_c + dstrow_ref[q, 0, j]
-            dacc[pl.ds(dst, b128), :] = jnp.where(valid, dch, n_docs)
+            packed = dstrow_ref[q, 0, j]
+            dst = q * r_c + (packed & DST_MASK)
+            if key_bits:
+                # (doc << kb) | slot keeps every 128-run ascending (one
+                # slot's docs are strictly ascending within a block) and
+                # tie-free among REAL keys; masked tails get the same
+                # constant sentinel as the prefill (sentinel ties carry
+                # equal zero payloads — see the prefill comment)
+                slot_id = packed >> SLOT_SHIFT
+                dkey = (dch << key_bits) | slot_id
+                dacc[pl.ds(dst, b128), :] = jnp.where(
+                    valid, dkey, n_docs << key_bits
+                )
+            else:
+                dacc[pl.ds(dst, b128), :] = jnp.where(valid, dch, n_docs)
             ciacc[pl.ds(dst, b128), :] = jnp.where(in_range, ci, 0)
 
         # skipped blocks (srcrow < 0) occupy zero compacted rows; the
@@ -368,6 +440,7 @@ def _fused_kernel(
         k=k,
         n_docs=n_docs,
         q_regions=q_stack,
+        key_bits=key_bits,
     )
     vals_ref[:, 0, :] = vals
     docs_ref[:, 0, :] = docs
@@ -450,6 +523,9 @@ def fused_search_pallas(
         r_c=r_c,
         q_stack=q_stack,
         has_dlim=has_dlim,
+        # derived from statics + the module flag, so it is stable per
+        # jit signature; flipping UNIQUE_KEYS needs jax.clear_caches()
+        key_bits=key_bits_for(s, n_docs),
     )
     smem = partial(
         pl.BlockSpec, (q_stack, 1, n_blocks), lambda q: (q, 0, 0),
@@ -499,7 +575,15 @@ def fused_search_pallas(
             jax.ShapeDtypeStruct((nq, 1, LANES), jnp.int32),
         ),
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            # the rank pipeline's Mosaic stack peaks at ~16.1 MiB on
+            # the largest converged plan layout (hardware-measured:
+            # UNIQUE_KEYS' key ops pushed it 120 KiB over the 16 MiB
+            # default scoped limit); v5e VMEM is 128 MiB — 32 MiB
+            # keeps double-buffer headroom while never binding
+            vmem_limit_bytes=32 * 1024 * 1024,
+        ),
     )(
         srcrow, rem, abits, dstrow,
         *((dlim,) if has_dlim else ()),

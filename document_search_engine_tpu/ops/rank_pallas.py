@@ -92,7 +92,8 @@ def _extract_topk(cand, d, *, k: int, n_docs: int):
 
 
 def merge_rank_body(
-    d, ci, *, block: int, s: int, k: int, n_docs: int, q_regions: int = 1
+    d, ci, *, block: int, s: int, k: int, n_docs: int, q_regions: int = 1,
+    key_bits: int = 0
 ):
     """The shared in-VMEM rank pipeline on (R, 128) values: bitonic merge
     of the pre-sorted `block`-runs, segmented run-sums, iterative top-k.
@@ -110,7 +111,18 @@ def merge_rank_body(
     stage — the per-stage dependency latency that dominates small
     per-query buffers (measured: 4x fewer rows bought only 1.4x) is
     amortized q_regions ways. Returns (vals, docs) as
-    (q_regions, LANES) — row q is query q's lane vector."""
+    (q_regions, LANES) — row q is query q's lane vector.
+
+    key_bits > 0 (fused_pallas UNIQUE_KEYS): `d` holds keys
+    (doc << key_bits) | slot, unique among REAL candidates, with a
+    constant sentinel fill (n_docs << key_bits). The merge's keep mask
+    drops its tie-consistency term — the eq exists only because a tied
+    compare-exchange duplicates one ci payload over the other, which
+    matters iff tied keys can carry DIFFERENT payloads; real keys
+    never tie and sentinel payloads are all 0, so duplication is a
+    no-op. One shift recovers true doc ids for the run-sum/top-k
+    stages (sentinels shift to exactly n_docs, which every downstream
+    gate already treats as padding)."""
     r_dim = d.shape[0]
     assert r_dim % q_regions == 0
     region_rows = r_dim // q_regions
@@ -191,15 +203,23 @@ def merge_rank_body(
             is_low = bit_clear(level // 2)
             # boolean-identical to where(is_low, d <= fd, d >= fd);
             # Mosaic cannot lower a select BETWEEN two i1 vectors
-            # (arith.trunci i8->i1, hardware-verified compile error)
-            keep = (d == fd) | ((d < fd) == is_low)
+            # (arith.trunci i8->i1, hardware-verified compile error).
+            # Unique keys (key_bits > 0): ties are sentinel-only with
+            # equal zero payloads — drop the eq term.
+            if key_bits:
+                keep = (d < fd) == is_low
+            else:
+                keep = (d == fd) | ((d < fd) == is_low)
             d = jnp.where(keep, d, fd)
             ci = jnp.where(keep, ci, fci)
             kk = level // 4
             while kk >= 1:
                 pd = xor_perm(d, kk)
                 pci = xor_perm(ci, kk)
-                keep = (d == pd) | ((d < pd) == bit_clear(kk))
+                if key_bits:
+                    keep = (d < pd) == bit_clear(kk)
+                else:
+                    keep = (d == pd) | ((d < pd) == bit_clear(kk))
                 d = jnp.where(keep, d, pd)
                 ci = jnp.where(keep, ci, pci)
                 kk //= 2
@@ -233,15 +253,29 @@ def merge_rank_body(
                 eff = is_low if desc is None else jnp.logical_xor(
                     is_low, desc
                 )
-                # hardware-validated form (121k step recorded on it; a
-                # where(eff, d<=pd, d>=pd) rewrite is boolean-identical
-                # and one op cheaper on paper but unmeasured — the flip
-                # scheme above uses it where its masks are static)
-                keep = (d == pd) | ((d < pd) == eff)
+                if key_bits:
+                    # unique keys: the eq term of the hardware-
+                    # validated keep exists only to stop a tied
+                    # exchange duplicating one payload over the other;
+                    # real keys never tie and sentinel ties carry
+                    # equal zero payloads, so 2 ops replace 4 in EVERY
+                    # merge stage (the roofline's dominant op count)
+                    keep = (d < pd) == eff
+                else:
+                    # hardware-validated tie-safe form (121k step
+                    # recorded on it)
+                    keep = (d == pd) | ((d < pd) == eff)
                 d = jnp.where(keep, d, pd)
                 ci = jnp.where(keep, ci, pci)
                 kk //= 2
             level *= 2
+
+    # recover true doc ids from unique keys: one full-array shift. Tied
+    # (equal-doc) groups are adjacent either way — keys sort doc-major —
+    # and sentinel fills shift to >= n_docs, so every downstream stage
+    # sees exactly what the tie-safe path produces (bit-identical).
+    if key_bits:
+        d = d >> key_bits
 
     # --- stage 2: segmented run-sums (a doc spans <= s positions) ------
     run = ci

@@ -265,3 +265,63 @@ def test_fused_merge_flip_stacked_regions():
     finally:
         rp.MERGE_FLIP = saved
         jax.clear_caches()
+
+
+def test_fused_unique_keys_parity():
+    """UNIQUE_KEYS (tie-free merge via (doc << kb) | slot candidate
+    keys) must be bit-identical to the tie-safe path and to the XLA
+    gather reference, across every scheme combo: the default classic
+    network, the flip scheme, and k=17 (the tournament boundary, which
+    runs on recovered doc ids). Queries deliberately repeat the same
+    term row in two slots so equal docs with DIFFERENT ci payloads hit
+    the merge — the exact case the tie-consistency term protected."""
+    import jax
+
+    from document_search_engine_tpu.ops import fused_pallas as fp
+    from document_search_engine_tpu.ops import rank_pallas as rp
+
+    rng = np.random.default_rng(17)
+    n_terms, n_docs = 24, 4000
+    indptr, post_doc, post_val, nnz = _csr(rng, n_terms, n_docs, 2000)
+    d2, v2, row_start = make_aligned(indptr, post_doc, post_val, n_docs)
+    nq, s, blocksize = 8, 4, 512
+    rows = rng.integers(0, n_terms, (nq, s)).astype(np.int32)
+    rows[:, 2] = rows[:, 0]  # duplicate term row => guaranteed doc ties
+    coeff = rng.random((nq, s)).astype(np.float32) * 1.5 + 0.05
+    scale = float(np.float32(2.0**16))
+    clip = float(np.float32(65075262.0))
+    nb = block_plan(indptr, rows, coeff > 0, block=blocksize)
+    c = total_cap(indptr, rows, coeff > 0)
+    pd = np.concatenate([post_doc, np.full(blocksize, n_docs, np.int32)])
+    pv = np.concatenate([post_val, np.zeros(blocksize, np.float32)])
+    saved_uk, saved_flip = fp.UNIQUE_KEYS, rp.MERGE_FLIP
+    try:
+        for k in (10, 17):
+            ref = search_packed(
+                jnp.asarray(indptr), jnp.asarray(pd), jnp.asarray(pv),
+                jnp.asarray(rows), jnp.asarray(coeff),
+                jnp.float32(scale), jnp.float32(clip), jnp.int32(0),
+                c_total=c, k=k, n_docs=n_docs,
+            )
+            for uk, flip in (
+                (True, False), (False, False), (True, True)
+            ):
+                fp.UNIQUE_KEYS, rp.MERGE_FLIP = uk, flip
+                jax.clear_caches()  # both are trace-time globals
+                got = fused_search(
+                    jnp.asarray(d2), jnp.asarray(v2), row_start, indptr,
+                    rows, coeff, doc_base=0, n_blocks=nb,
+                    block=blocksize, k=k, n_docs=n_docs, scale=scale,
+                    clip=clip, interpret=True,
+                )
+                np.testing.assert_array_equal(
+                    np.asarray(got[0]), np.asarray(ref[0]),
+                    f"vals uk={uk} flip={flip} k={k}",
+                )
+                np.testing.assert_array_equal(
+                    np.asarray(got[1]), np.asarray(ref[1]),
+                    f"gids uk={uk} flip={flip} k={k}",
+                )
+    finally:
+        fp.UNIQUE_KEYS, rp.MERGE_FLIP = saved_uk, saved_flip
+        jax.clear_caches()

@@ -61,7 +61,8 @@ def merge_stage_count(c_region: int, run: int) -> int:
 
 
 def rank_pipeline_passes(
-    c_region: int, run: int, s: int, k: int, merge_flip: bool | None = None
+    c_region: int, run: int, s: int, k: int, merge_flip: bool | None = None,
+    unique_keys: bool | None = None,
 ) -> dict:
     """Full-array vector-op passes (each touching every element of the
     stacked (q_stack*r_c, 128) buffer once) per pipeline stage, with
@@ -89,21 +90,36 @@ def rank_pipeline_passes(
         from document_search_engine_tpu.ops.rank_pallas import MERGE_FLIP
 
         merge_flip = MERGE_FLIP
+    if unique_keys is None:
+        from document_search_engine_tpu.ops.fused_pallas import UNIQUE_KEYS
+
+        unique_keys = UNIQUE_KEYS
+    # unique candidate keys (fused_pallas.UNIQUE_KEYS): the tie-
+    # consistency eq+or drop from every merge keep mask (-2 ops/stage),
+    # paid back by one post-merge shift to recover doc ids (the 2-op
+    # keying on arrival rides the DMA phase, hidden)
+    stage_ops = 10 if unique_keys else 12
+    unkey = 1 if unique_keys else 0
     if merge_flip:
         rev = 0
         merge = 0
         if c_region // run >= 2:
             level = 2 * run
             while level <= c_region:
-                merge += 7  # mirror half-cleaner stage
-                merge += (int(math.log2(level)) - 1) * 11
+                merge += 7 - (2 if unique_keys else 0)
+                merge += (int(math.log2(level)) - 1) * (
+                    11 - (2 if unique_keys else 0)
+                )
                 level *= 2
     else:
         rev = int(math.log2(run)) * 2 * 3
-        merge = merge_stage_count(c_region, run) * 12
+        merge = merge_stage_count(c_region, run) * stage_ops
     runsum = max(1, math.ceil(math.log2(max(s, 2)))) * 11
     topk = k * 7
-    return {"reversal": rev, "merge": merge, "runsum": runsum, "topk": topk}
+    return {
+        "reversal": rev, "merge": merge, "unkey": unkey,
+        "runsum": runsum, "topk": topk,
+    }
 
 
 def main():

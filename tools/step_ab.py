@@ -23,6 +23,10 @@ module/engine knobs relative to the CURRENT committed defaults, so the
              half-cleaner merge vs the reverse-odd-runs network; this
              one DOES require the committed kernel file to carry both
              paths — the flag only picks between them)
+  ukeys / noukeys — fused_pallas.UNIQUE_KEYS (tie-free merge keep mask
+             via (doc << kb) | slot candidate keys: -2 of the 12 ops
+             per merge stage, +2 DMA-hidden ops on arrival + one
+             post-merge shift)
   splitN   — engine.split_rows = N (e.g. split64): doc-range splitting
              of heavy queries into doc-disjoint pieces that rank in
              smaller regions and merge exactly (ops/schedule.py
@@ -158,6 +162,7 @@ def main():
         budget=fused_pallas.STACK_ROWS_BUDGET,
         families=None,
         split_rows=eng.split_rows,  # engine default, NOT None
+        unique_keys=fused_pallas.UNIQUE_KEYS,
     )
 
     def apply(name):
@@ -175,6 +180,10 @@ def main():
                 rank_pallas.MERGE_FLIP = True
             elif part == "mergerev":
                 rank_pallas.MERGE_FLIP = False
+            elif part == "ukeys":
+                fused_pallas.UNIQUE_KEYS = True
+            elif part == "noukeys":
+                fused_pallas.UNIQUE_KEYS = False
             elif part.startswith("split"):
                 n = int(part[len("split"):])
                 eng.split_rows = n if n > 0 else None
@@ -183,6 +192,7 @@ def main():
 
     def restore():
         rank_pallas.MERGE_FLIP = DEF["merge_flip"]
+        fused_pallas.UNIQUE_KEYS = DEF["unique_keys"]
         fused_pallas.DEPTH = DEF["depth"]
         fused_pallas.MAX_STACK = DEF["max_stack"]
         fused_pallas.STACK_ROWS_BUDGET = DEF["budget"]
