@@ -220,6 +220,23 @@ def timed_serving_passes(
     return out
 
 
+def stream_pass_qps(eng_like, batches, nq, iters, k, depth):
+    """One timed serving pass over the public search_stream API (the
+    same loop timed_serving_passes runs); returns q/s."""
+    t0 = time.perf_counter()
+    n_out = 0
+
+    def gen():
+        for i in range(iters):
+            yield batches[i % len(batches)]
+
+    for ids, _sc in eng_like.search_stream(gen(), k=k, depth=depth):
+        n_out += len(ids)
+    dt = time.perf_counter() - t0
+    assert n_out == nq * iters
+    return nq * iters / dt
+
+
 def make_batches(df_by_row, tokens_by_row, nq, tpq, n_batches, seed=7):
     """Fresh raw-TEXT query batches sampled from mid-df vocabulary."""
     rng = np.random.default_rng(seed)
@@ -937,23 +954,67 @@ def main():
         assert np.array_equal(sh_first[0], ref_ids) and np.array_equal(
             sh_first[1], ref_sc
         ), "sharded wrapper diverged from single engine"
-        # >= 5 probed passes, overhead = median-vs-median from the SAME
-        # run (round-4 VERDICT #4: two passes with a 1.9x spread printed
-        # a physically implausible negative overhead)
-        sh = timed_serving_passes(
-            "sharded serving (1-shard SPMD)", deng, batches, nq,
-            max(iters // 2, 8), k, depth, max(passes, 5), on_tpu,
+        # PAIRED windows: tunnel throughput swings ~2x between windows
+        # minutes apart, so comparing this leg's median to the primary
+        # leg's median (run minutes earlier) measures the weather, not
+        # the SPMD machinery — the post-round-4 protocol still printed
+        # a -36.9% "overhead" when the sharded leg caught a healthy
+        # window the single leg never saw. Each window now runs probe →
+        # single pass → sharded pass back-to-back (seconds apart, same
+        # weather), and the overhead is the MEDIAN of per-window
+        # ratios; the windows double as the sharded leg's >= 5 passes.
+        it2 = max(iters // 2, 8)
+        windows = max(passes, 5)
+        sgl, shd, probes, per_win = [], [], [], []
+        for w in range(windows):
+            try:
+                probe = with_alarm(lambda: tunnel_probe(on_tpu), 120)
+            except Exception as e:  # noqa: BLE001 — tunnel weather
+                log(f"sharded window {w + 1}/{windows} probe FAILED: "
+                    f"{type(e).__name__}: {e}")
+                probe = None
+            try:
+                s_qps = with_alarm(
+                    lambda: stream_pass_qps(eng, batches, nq, it2, k,
+                                            depth), 420)
+                d_qps = with_alarm(
+                    lambda: stream_pass_qps(deng, batches, nq, it2, k,
+                                            depth), 420)
+            except Exception as e:  # noqa: BLE001 — tunnel weather
+                log(f"sharded window {w + 1}/{windows} FAILED: "
+                    f"{type(e).__name__}: {e}")
+                continue
+            ov = (s_qps / d_qps - 1) * 100
+            sgl.append(round(s_qps, 1))
+            shd.append(round(d_qps, 1))
+            probes.append(list(probe) if probe else None)
+            per_win.append(round(ov, 1))
+            pr = (f"probe h2d/d2h {probe[0]:.0f}/{probe[1]:.0f} ms; "
+                  if probe else "")
+            log(f"sharded window {w + 1}/{windows}: single "
+                f"{s_qps:,.0f} vs sharded {d_qps:,.0f} q/s/chip "
+                f"({pr}overhead {ov:+.1f}%)")
+            if w < windows - 1 and on_tpu:
+                time.sleep(8)
+        if not shd:
+            return None
+        sh = {
+            "best": max(shd),
+            "median": round(float(np.median(shd)), 1),
+            "passes": shd,
+            "probes_ms": probes,
+            "paired_single_passes": sgl,
+            "overhead_per_window_pct": per_win,
+            "overhead_median_pct": round(
+                float(np.median(per_win)), 1),
+        }
+        log(
+            f"sharded serving (1-shard SPMD): best {sh['best']:,.0f} "
+            f"/ median {sh['median']:,.0f} q/s/chip over {len(shd)} "
+            f"windows; SPMD overhead (median of per-window "
+            f"single-vs-sharded ratios): "
+            f"{sh['overhead_median_pct']:+.1f}%"
         )
-        if sh and primary:
-            sh["overhead_median_pct"] = round(
-                (primary["median"] / sh["median"] - 1) * 100, 1
-            )
-            log(
-                f"SPMD overhead vs single engine (median vs median): "
-                f"{sh['overhead_median_pct']:+.1f}% "
-                f"(single {primary['median']:,.0f} vs sharded "
-                f"{sh['median']:,.0f})"
-            )
         return sh
 
     sharded = None
